@@ -1,0 +1,203 @@
+"""GENESIS-V2 (reference models/genesisv2_config.py:49-256).
+
+Non-iterative slot inference: UNet feature encoder -> IC-SBP kernel
+attention clustering -> masked-mean slot pooling -> z_head posterior ->
+shared broadcast-style deconv decoder emitting RGB + mask-logit; softmax
+mask recombination; autoregressive LSTM prior.
+
+TPU re-design notes: the per-slot pooling loop (genesisv2_config.py:146-161)
+is one einsum over [K,B,H,W]; the per-slot decoder loop (205-211) folds K
+into the batch for a single MXU-batched deconv stack; IC-SBP `dynamic_K`
+works batched (see ops/attention.py) instead of per-element.
+"""
+
+import math
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+from flax import linen as nn
+
+from genesis_tpu.core import flags
+from genesis_tpu.core.attrdict import AttrDict
+from genesis_tpu.ops import blocks as B
+from genesis_tpu.ops import losses as L
+from genesis_tpu.ops.attention import InstanceColouringSBP
+from genesis_tpu.ops.losses import AutoregPrior
+from genesis_tpu.ops.unet import UNet
+
+# Architecture
+flags.DEFINE_integer("feat_dim", 64, "Number of features and latents.")
+# Segmentation
+flags.DEFINE_string("kernel", "gaussian",
+                    "{laplacian, gaussian, epanechnikov}")
+flags.DEFINE_boolean("semiconv", True, "Use semi-convolutional embeddings.")
+flags.DEFINE_boolean("dynamic_K", False, "Dynamic K.")
+# Auxiliary mask consistency loss
+flags.DEFINE_boolean("klm_loss", False, "KL mask regulariser.")
+flags.DEFINE_boolean("detach_mr_in_klm", True,
+                     "Detach reconstructed masks.")
+# Shared flags (may already be registered by other model configs)
+flags.DEFINE_boolean("autoreg_prior", True, "Autoregressive prior.")
+flags.DEFINE_boolean("pixel_bound", True, "Bound pixel values to [0, 1].")
+flags.DEFINE_float("pixel_std1", 0.7, "StdDev of reconstructed pixels.")
+flags.DEFINE_float("pixel_std2", 0.7, "StdDev of reconstructed pixels.")
+
+
+def load(cfg):
+    assert cfg.pixel_std1 == cfg.pixel_std2
+    return GenesisV2(
+        K_steps=cfg.K_steps,
+        img_size=cfg.img_size,
+        feat_dim=cfg.get("feat_dim", 64),
+        kernel=cfg.get("kernel", "gaussian"),
+        semiconv=cfg.get("semiconv", True),
+        dynamic_K=cfg.get("dynamic_K", False),
+        klm_loss=cfg.get("klm_loss", False),
+        detach_mr_in_klm=cfg.get("detach_mr_in_klm", True),
+        autoreg_prior=cfg.get("autoreg_prior", True),
+        pixel_bound=cfg.pixel_bound,
+        pixel_std=cfg.pixel_std1,
+        input_channels=cfg.get("input_channels", 3),
+    )
+
+
+class GenesisV2(nn.Module):
+    K_steps: int
+    img_size: int
+    feat_dim: int = 64
+    kernel: str = "gaussian"
+    semiconv: bool = True
+    dynamic_K: bool = False
+    klm_loss: bool = False
+    detach_mr_in_klm: bool = True
+    autoreg_prior: bool = True
+    pixel_bound: bool = True
+    pixel_std: float = 0.7
+    input_channels: int = 3
+
+    def setup(self):
+        F = self.feat_dim
+        self.encoder = UNet(
+            num_blocks=int(math.log2(self.img_size) - 1),
+            img_size=self.img_size,
+            filter_start=min(F, 64),
+            in_chnls=self.input_channels,
+            out_chnls=F,
+            norm="gn",
+            use_final_conv=False)  # final_conv = Identity (v2_config.py:70)
+        self.att_process = InstanceColouringSBP(
+            img_size=self.img_size,
+            kernel=self.kernel,
+            colour_dim=8,
+            K_steps=self.K_steps,
+            feat_dim=F,
+            semiconv=self.semiconv)
+        self.seg_head = B.ConvGNReLU(nout=F, kernel=3, stride=1, padding=1)
+        self.feat_head_conv = B.ConvGNReLU(nout=F, kernel=3, stride=1,
+                                           padding=1)
+        self.feat_head_out = B.Conv(2 * F, 1)
+        self.z_head = nn.Sequential([
+            nn.LayerNorm(),
+            B.Dense(2 * F), nn.relu,
+            B.Dense(2 * F)])
+        # Decoder: broadcast to img/16 then 4 stride-2 deconvs + 1x1 head.
+        c = F
+        self.dec_convs = [B.ConvT(c, 5, 2, "SAME"),
+                          B.ConvT(c, 5, 2, "SAME"),
+                          B.ConvT(min(c, 64), 5, 2, "SAME"),
+                          B.ConvT(min(c, 64), 5, 2, "SAME")]
+        self.dec_norms = [nn.GroupNorm(num_groups=8, epsilon=1e-5)
+                          for _ in range(4)]
+        self.dec_broadcast = B.BroadcastLayer(self.img_size // 16)
+        self.dec_head = B.Conv(self.input_channels + 1, 1)
+        # Prior
+        if self.autoreg_prior and self.K_steps > 1:
+            self.prior = AutoregPrior(ldim=F, hidden=4 * F)
+
+    # -- Decoder over K-folded batch ------------------------------------
+    def _decoder_module(self, z, train: bool = True):
+        x = self.dec_broadcast(z)
+        for conv, norm in zip(self.dec_convs, self.dec_norms):
+            x = nn.relu(norm(conv(x)))
+        return self.dec_head(x)
+
+    def decode_latents(self, z_k, train: bool = True):
+        """z_k: [K,B,F] -> (recon, x_r_k [K,B,H,W,C], log_m_r_k
+        [K,B,H,W,1]) (genesisv2_config.py:205-225)."""
+        nin = self.input_channels
+        K, bsz = z_k.shape[0], z_k.shape[1]
+        dec = self._decoder_module(z_k.reshape(K * bsz, -1), train)
+        dec = dec.reshape((K, bsz) + dec.shape[1:])
+        x_r_k = dec[..., :nin]
+        m_r_logits_k = dec[..., nin:]
+        if self.pixel_bound:
+            x_r_k = jax.nn.sigmoid(x_r_k)
+        log_m_r_k = L.get_mask_recon_stack(m_r_logits_k, "softmax",
+                                           log=True)
+        recon = jnp.sum(jnp.exp(log_m_r_k) * x_r_k, axis=0)
+        return recon, x_r_k, log_m_r_k
+
+    def __call__(self, x, train: bool = True):
+        # --- Extract features ---
+        enc_feat, _ = self.encoder(x, train)
+        enc_feat = nn.relu(enc_feat)
+
+        # --- Predict attention masks (IC-SBP) ---
+        log_m_k, log_s_k, att_stats = self.att_process(
+            self.seg_head(enc_feat, train), self.K_steps - 1, train,
+            dynamic_K=self.dynamic_K)
+
+        # --- Object features, latents (vectorised slot pooling) ---
+        masks = jnp.exp(log_m_k)                       # [K,B,H,W,1]
+        feat = self.feat_head_out(self.feat_head_conv(enc_feat, train))
+        obj_sum = jnp.einsum("kbhwi,bhwc->kbc", masks, feat)
+        mask_sum = jnp.sum(masks, axis=(2, 3, 4))      # [K,B]
+        obj_feat = obj_sum / (mask_sum[..., None] + 1e-5)
+        mu, sigma_ps = jnp.split(self.z_head(obj_feat), 2, axis=-1)
+        sigma = B.to_sigma(sigma_ps)
+        key = self.make_rng("sample")
+        z_k = mu + sigma * jax.random.normal(key, mu.shape, mu.dtype)
+        comp_stats = AttrDict(mu_k=mu, sigma_k=sigma, z_k=z_k)
+
+        # --- Decode latents ---
+        recon, x_r_k, log_m_r_k = self.decode_latents(z_k, train)
+
+        # --- Loss terms ---
+        losses = AttrDict()
+        losses["err"] = L.x_loss(x, log_m_r_k, x_r_k, self.pixel_std)
+        if self.klm_loss:
+            lm_r = (jax.lax.stop_gradient(log_m_r_k)
+                    if self.detach_mr_in_klm else log_m_r_k)
+            losses["kl_m"] = L.kl_m_loss(log_m_k=log_m_k, log_m_r_k=lm_r)
+        kl_l_k, p_mu, p_sigma = L.mask_latent_loss(
+            mu, sigma, z_k,
+            prior=self.prior if (self.autoreg_prior and
+                                 self.K_steps > 1) else None)
+        losses["kl_l_k"] = kl_l_k
+        comp_stats["pmu_k"] = p_mu
+        comp_stats["psigma_k"] = p_sigma
+
+        stats = AttrDict(
+            recon=recon, log_m_k=log_m_k, log_s_k=log_s_k, x_r_k=x_r_k,
+            log_m_r_k=log_m_r_k, mx_r_k=x_r_k * jnp.exp(log_m_r_k),
+            instance_seg=jnp.argmax(log_m_k[..., 0], axis=0),
+            instance_seg_r=jnp.argmax(log_m_r_k[..., 0], axis=0))
+        return recon, losses, stats, AttrDict(att_stats), comp_stats
+
+    def sample(self, batch_size: int, K_steps=None):
+        K_steps = self.K_steps if K_steps is None else K_steps
+        key = self.make_rng("sample")
+        if self.autoreg_prior:
+            z_k = self.prior.rollout(key, batch_size, K_steps)
+        else:
+            z_k = jax.random.normal(
+                key, (K_steps, batch_size, self.feat_dim))
+        recon, x_r_k, log_m_r_k = self.decode_latents(z_k, train=False)
+        stats = AttrDict(x_k=x_r_k, log_m_k=log_m_r_k,
+                         mx_k=x_r_k * jnp.exp(log_m_r_k))
+        return recon, stats
+
+    def get_features(self, x):
+        _, _, _, _, comp_stats = self(x, train=False)
+        return jnp.concatenate(list(comp_stats["z_k"]), axis=-1)

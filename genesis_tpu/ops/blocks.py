@@ -1,0 +1,258 @@
+"""Elementary NN blocks and parameterisation helpers.
+
+Functional parity with reference modules/blocks.py:18-178 and the math used
+throughout the reference models, re-expressed for NHWC tensors and JAX:
+
+  * `clamp_preserve_gradients`  (blocks.py:18-20)  -> straight-through clamp
+  * `to_sigma` / `to_var`       (blocks.py:22-26)
+  * `to_prior_sigma`            (blocks.py:28-34)
+  * `pixel_coords`              (blocks.py:42-47)  -> NHWC coord grid
+  * euclidian/squared distance  (blocks.py:49-71)
+  * `ScalarGate`                (blocks.py:85-90)
+  * `BroadcastLayer`/`PixelCoords` (blocks.py:104-130)
+  * Conv(+IN/GN)+ReLU wrappers  (blocks.py:144-165)
+  * `SemiConv`                  (blocks.py:167-178)
+
+Weight init follows the torch fan-in uniform scheme the reference trains
+with (uniform with variance 1/(3*fan_in)); biases are zero-initialised.
+"""
+
+import math
+from typing import Any, Callable, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+from flax import linen as nn
+
+# ---------------------------------------------------------------------------
+# Initialisers
+# ---------------------------------------------------------------------------
+
+# torch nn.Conv2d/nn.Linear default: kaiming_uniform(a=sqrt(5)) == uniform
+# with bound sqrt(1/fan_in), i.e. variance 1/(3*fan_in).
+torch_init = nn.initializers.variance_scaling(1.0 / 3.0, "fan_in", "uniform")
+zeros_init = nn.initializers.zeros
+
+
+def Conv(features: int, kernel: int, stride: int = 1,
+         padding="SAME", use_bias: bool = True, name: Optional[str] = None):
+    """2D conv wrapper with torch-style init. padding: 'SAME'|'VALID'|int."""
+    if isinstance(padding, int):
+        padding = ((padding, padding), (padding, padding))
+    return nn.Conv(features, (kernel, kernel), strides=(stride, stride),
+                   padding=padding, use_bias=use_bias,
+                   kernel_init=torch_init, bias_init=zeros_init, name=name)
+
+
+def ConvT(features: int, kernel: int, stride: int = 1,
+          padding="SAME", use_bias: bool = True, name: Optional[str] = None):
+    """2D transposed conv (torch ConvTranspose2d k5/s2/p2/op1 == SAME 2x)."""
+    if isinstance(padding, int):
+        padding = ((padding, padding), (padding, padding))
+    return nn.ConvTranspose(features, (kernel, kernel),
+                            strides=(stride, stride), padding=padding,
+                            use_bias=use_bias, kernel_init=torch_init,
+                            bias_init=zeros_init, name=name)
+
+
+def Dense(features: int, name: Optional[str] = None):
+    return nn.Dense(features, kernel_init=torch_init, bias_init=zeros_init,
+                    name=name)
+
+
+# ---------------------------------------------------------------------------
+# Parameterisations (pure functions)
+# ---------------------------------------------------------------------------
+
+def clamp_preserve_gradients(x, lower, upper):
+    """Clamp forward, identity backward (reference blocks.py:18-20)."""
+    return x + jax.lax.stop_gradient(jnp.clip(x, lower, upper) - x)
+
+
+def to_sigma(x):
+    return jax.nn.softplus(x + 0.5) + 1e-8
+
+
+def to_var(x):
+    return to_sigma(x) ** 2
+
+
+def to_prior_sigma(x, sigmoid_bias: float = 4.0, eps: float = 1e-4):
+    """Bounds a learned prior sigma to [eps, 1+eps], initialised near 1."""
+    return jax.nn.sigmoid(x + sigmoid_bias) + eps
+
+
+def pixel_coords(img_size: int, dtype=jnp.float32):
+    """[1, H, W, 2] coord grid; channel 0 varies along H, 1 along W
+    (matches torch.meshgrid 'ij' in reference blocks.py:42-47)."""
+    g = jnp.linspace(-1.0, 1.0, img_size, dtype=dtype)
+    g1 = jnp.broadcast_to(g[:, None], (img_size, img_size))
+    g2 = jnp.broadcast_to(g[None, :], (img_size, img_size))
+    return jnp.stack([g1, g2], axis=-1)[None]  # [1, H, W, 2]
+
+
+def euclidian_norm(x, axis=-1):
+    sq = jnp.sum(x ** 2, axis=axis)
+    return jnp.sqrt(clamp_preserve_gradients(sq, 1e-10, 1e10))
+
+
+def squared_distance(embed_a, embed_b, axis=-1):
+    """Sum of squared differences along the channel axis (broadcasts)."""
+    return jnp.sum((embed_a - embed_b) ** 2, axis=axis)
+
+
+def euclidian_distance(embed_a, embed_b, axis=-1):
+    return euclidian_norm(embed_a - embed_b, axis=axis)
+
+
+# ---------------------------------------------------------------------------
+# Resizing (exact torch-nearest semantics, cheap on TPU)
+# ---------------------------------------------------------------------------
+
+def down2_nearest(x):
+    """Exact torch F.interpolate(scale_factor=0.5, mode='nearest'): take
+    every other pixel. x: [..., H, W, C]."""
+    return x[..., ::2, ::2, :]
+
+
+def up2_nearest(x):
+    """Exact torch F.interpolate(scale_factor=2, mode='nearest')."""
+    x = jnp.repeat(x, 2, axis=-3)
+    return jnp.repeat(x, 2, axis=-2)
+
+
+def resize_nearest(x, size: Tuple[int, int]):
+    shape = x.shape[:-3] + (size[0], size[1], x.shape[-1])
+    return jax.image.resize(x, shape, method="nearest")
+
+
+def resize_bilinear(x, size: Tuple[int, int]):
+    shape = x.shape[:-3] + (size[0], size[1], x.shape[-1])
+    return jax.image.resize(x, shape, method="bilinear")
+
+
+# ---------------------------------------------------------------------------
+# Norms
+# ---------------------------------------------------------------------------
+
+def make_norm(kind: Optional[str], groups: int = 8):
+    """Factory for the reference's norm options ({'bn','in','gn',None})."""
+    if kind in (None, "none"):
+        return None
+    if kind == "in":
+        # InstanceNorm2d(affine=True) == GroupNorm with one channel/group.
+        return lambda name=None: nn.GroupNorm(
+            num_groups=None, group_size=1, epsilon=1e-5, name=name)
+    if kind == "gn":
+        return lambda name=None: nn.GroupNorm(
+            num_groups=groups, epsilon=1e-5, name=name)
+    if kind == "bn":
+        return lambda name=None: nn.BatchNorm(
+            momentum=0.9, epsilon=1e-5, name=name)
+    raise ValueError(f"Normalisation option not recognised: {kind}")
+
+
+def apply_norm(norm_layer, x, train: bool):
+    if isinstance(norm_layer, nn.BatchNorm):
+        return norm_layer(x, use_running_average=not train)
+    return norm_layer(x)
+
+
+# ---------------------------------------------------------------------------
+# Modules
+# ---------------------------------------------------------------------------
+
+class ScalarGate(nn.Module):
+    """y = g * x with learned scalar g (reference blocks.py:85-90)."""
+    init: float = 0.0
+
+    @nn.compact
+    def __call__(self, x):
+        gate = self.param("gate", lambda key: jnp.asarray(self.init,
+                                                          jnp.float32))
+        return gate * x
+
+
+class PixelCoords(nn.Module):
+    """Append 2 coordinate channels (reference blocks.py:119-130)."""
+    im_dim: int
+
+    @nn.compact
+    def __call__(self, x):
+        coords = pixel_coords(self.im_dim, dtype=x.dtype)
+        coords = jnp.broadcast_to(
+            coords, x.shape[:-3] + coords.shape[1:])
+        return jnp.concatenate([x, coords], axis=-1)
+
+
+class BroadcastLayer(nn.Module):
+    """Spatial broadcast: tile a vector (or resize a map) over a dim x dim
+    grid and append pixel coords (reference blocks.py:104-117)."""
+    dim: int
+
+    @nn.compact
+    def __call__(self, x):
+        if x.ndim == 2:  # [B, D] -> [B, dim, dim, D]
+            x = x[:, None, None, :]
+            x = jnp.broadcast_to(
+                x, (x.shape[0], self.dim, self.dim, x.shape[-1]))
+        else:
+            x = resize_nearest(x, (self.dim, self.dim))
+        return PixelCoords(self.dim)(x)
+
+
+class ConvReLU(nn.Module):
+    nout: int
+    kernel: int
+    stride: int = 1
+    padding: Any = 0
+
+    @nn.compact
+    def __call__(self, x, train: bool = True):
+        return nn.relu(Conv(self.nout, self.kernel, self.stride,
+                            self.padding)(x))
+
+
+class ConvINReLU(nn.Module):
+    nout: int
+    kernel: int
+    stride: int = 1
+    padding: Any = 0
+
+    @nn.compact
+    def __call__(self, x, train: bool = True):
+        x = Conv(self.nout, self.kernel, self.stride, self.padding,
+                 use_bias=False)(x)
+        x = nn.GroupNorm(num_groups=None, group_size=1, epsilon=1e-5)(x)
+        return nn.relu(x)
+
+
+class ConvGNReLU(nn.Module):
+    nout: int
+    kernel: int
+    stride: int = 1
+    padding: Any = 0
+    groups: int = 8
+
+    @nn.compact
+    def __call__(self, x, train: bool = True):
+        x = Conv(self.nout, self.kernel, self.stride, self.padding,
+                 use_bias=False)(x)
+        x = nn.GroupNorm(num_groups=self.groups, epsilon=1e-5)(x)
+        return nn.relu(x)
+
+
+class SemiConv(nn.Module):
+    """Gated 1x1 conv + fixed coordinate offset in the last two channels
+    (reference blocks.py:167-178). Returns (embedding, delta)."""
+    nout: int
+    img_size: int
+
+    @nn.compact
+    def __call__(self, x):
+        out = ScalarGate()(Conv(self.nout, 1)(x))
+        delta = out[..., -2:]
+        coords = pixel_coords(self.img_size, dtype=out.dtype)
+        zeros = jnp.zeros(coords.shape[:-1] + (self.nout - 2,), out.dtype)
+        uv = jnp.concatenate([zeros, coords], axis=-1)
+        return out + uv, delta

@@ -1,0 +1,159 @@
+"""Loss functions: mixture NLL, MC KL divergences, mask KL, priors.
+
+Parity targets:
+  * `x_loss`            — reference models/genesis_config.py:273-286, but
+    computed with logsumexp (the stability fix the reference itself flags at
+    genesis_config.py:280-281).
+  * `get_mc_kl`         — reference utils/misc.py:254-255.
+  * `mask_latent_loss`  — reference models/genesis_config.py:288-343
+    (autoregressive LSTM prior over slot latents, MC KL).
+  * `kl_m_loss`         — reference models/monet_config.py:157-170
+    (Categorical KL between attention and reconstructed masks).
+  * `get_mask_recon_stack` — reference models/monet_config.py:135-155.
+
+All slot-stacked tensors are slot-major [K, B, ...].
+"""
+
+import math
+from typing import Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+from flax import linen as nn
+
+from genesis_tpu.ops import blocks as B
+
+_LOG_2PI = math.log(2.0 * math.pi)
+
+
+def normal_log_prob(x, mean, std):
+    """Elementwise log N(x; mean, std^2)."""
+    var = std ** 2
+    return -0.5 * ((x - mean) ** 2 / var + jnp.log(var) + _LOG_2PI)
+
+
+def std_normal_log_prob(x):
+    return -0.5 * (x ** 2 + _LOG_2PI)
+
+
+def x_loss(x, log_m_k, x_r_k, std, pixel_wise: bool = False):
+    """Mixture-of-Gaussians reconstruction NLL.
+
+    x: [B,H,W,C]; log_m_k: [K,B,H,W,1]; x_r_k: [K,B,H,W,C];
+    std: scalar or [K] per-slot pixel std.
+    Returns [B] (or [B,H,W,C] if pixel_wise).
+    """
+    std = jnp.asarray(std, x.dtype)
+    if std.ndim == 1:  # per-slot
+        std = std.reshape(-1, 1, 1, 1, 1)
+    log_xr = normal_log_prob(x[None], x_r_k, std)      # [K,B,H,W,C]
+    log_mx = log_m_k + log_xr
+    err_ppc = -jax.nn.logsumexp(log_mx, axis=0)        # [B,H,W,C]
+    if pixel_wise:
+        return err_ppc
+    return jnp.sum(err_ppc, axis=(1, 2, 3))
+
+
+def get_mc_kl(z, q_mu, q_sigma, p_mu, p_sigma):
+    """Monte-Carlo KL: log q(z) - log p(z), summed over the latent dim."""
+    log_q = normal_log_prob(z, q_mu, q_sigma)
+    log_p = normal_log_prob(z, p_mu, p_sigma)
+    return jnp.sum(log_q - log_p, axis=-1)
+
+
+def get_mask_recon_stack(m_r_logits_k, prior_mode: str, log: bool):
+    """Combine per-slot mask logits into normalised masks.
+
+    m_r_logits_k: [K,B,H,W,1]. 'softmax' normalises across slots; 'scope'
+    runs the stick-breaking recursion on the logits.
+    """
+    if prior_mode == "softmax":
+        out = jax.nn.log_softmax(m_r_logits_k, axis=0)
+        return out if log else jnp.exp(out)
+    if prior_mode == "scope":
+        log_a = jax.nn.log_sigmoid(m_r_logits_k[:-1])
+        log_na = jax.nn.log_sigmoid(-m_r_logits_k[:-1])
+        zeros = jnp.zeros_like(m_r_logits_k[:1])
+        log_s = jnp.concatenate([zeros, jnp.cumsum(log_na, axis=0)], axis=0)
+        out = jnp.concatenate([log_s[:-1] + log_a, log_s[-1:]], axis=0)
+        return out if log else jnp.exp(out)
+    raise ValueError(f"No valid prior mode: {prior_mode}")
+
+
+def kl_m_loss(log_m_k, log_m_r_k, eps: float = 1e-5):
+    """Categorical KL between attention masks q and recon masks p, per
+    pixel, summed over pixels -> [B]. Both mask stacks [K,B,H,W,1]."""
+    q = jnp.maximum(jnp.exp(log_m_k), eps)
+    p = jnp.maximum(jnp.exp(log_m_r_k), eps)
+    # Normalise (torch Categorical normalises unnormalised probs).
+    q = q / jnp.sum(q, axis=0, keepdims=True)
+    p = p / jnp.sum(p, axis=0, keepdims=True)
+    kl_ppc = jnp.sum(q * (jnp.log(q) - jnp.log(p)), axis=0)  # [B,H,W,1]
+    return jnp.sum(kl_ppc, axis=(1, 2, 3))
+
+
+class AutoregPrior(nn.Module):
+    """Autoregressive LSTM prior p(z_k | z_<k) over slot latents
+    (reference models/genesis_config.py:129-132, 288-343)."""
+    ldim: int
+    hidden: int = 256
+
+    def setup(self):
+        self.cell = nn.OptimizedLSTMCell(self.hidden)
+        self.linear = B.Dense(2 * self.ldim)
+
+    def _step_params(self, lstm_out):
+        mu_raw, sigma_raw = jnp.split(self.linear(lstm_out), 2, axis=-1)
+        return jnp.tanh(mu_raw), B.to_prior_sigma(sigma_raw)
+
+    def prior_params(self, z_seq):
+        """Teacher-forced prior params for steps 1..S given z_seq [S,B,D]
+        (the latents for steps 0..S-1). Returns (mu, sigma) [S,B,D]."""
+        S, bsz = z_seq.shape[0], z_seq.shape[1]
+        carry = (jnp.zeros((bsz, self.hidden), z_seq.dtype),
+                 jnp.zeros((bsz, self.hidden), z_seq.dtype))
+        outs = []
+        for t in range(S):
+            carry, y = self.cell(carry, z_seq[t])
+            outs.append(y)
+        return self._step_params(jnp.stack(outs))
+
+    def rollout(self, key, batch_size: int, steps: int):
+        """Ancestral sampling: z_1 ~ N(0,1), z_k ~ p(.|z_<k). Returns
+        z [steps, B, D]."""
+        keys = jax.random.split(key, steps)
+        z = jax.random.normal(keys[0], (batch_size, self.ldim))
+        z_k = [z]
+        carry = (jnp.zeros((batch_size, self.hidden), z.dtype),
+                 jnp.zeros((batch_size, self.hidden), z.dtype))
+        for t in range(1, steps):
+            carry, y = self.cell(carry, z_k[-1])
+            mu, sigma = self._step_params(y)
+            z = mu + sigma * jax.random.normal(keys[t], mu.shape)
+            z_k.append(z)
+        return jnp.stack(z_k)
+
+
+def mask_latent_loss(q_mu_k, q_sigma_k, z_0_k, z_k_k=None,
+                     prior: Optional[AutoregPrior] = None):
+    """MC KL between slot-latent posteriors and the (optionally
+    autoregressive) prior.
+
+    q_mu_k, q_sigma_k, z_0_k: [K,B,D]. Returns (kl [K,B], p_mu [K,B,D],
+    p_sigma [K,B,D]). Step 0 prior is N(0,1); steps k>0 use the LSTM prior
+    conditioned on z_{<k} when `prior` is given.
+    """
+    if z_k_k is None:
+        z_k_k = z_0_k
+    K = z_0_k.shape[0]
+    if prior is not None and K > 1:
+        mu_later, sigma_later = prior.prior_params(z_k_k[:-1])
+        p_mu = jnp.concatenate([jnp.zeros_like(mu_later[:1]), mu_later])
+        p_sigma = jnp.concatenate(
+            [jnp.ones_like(sigma_later[:1]), sigma_later])
+    else:
+        p_mu = jnp.zeros_like(z_0_k)
+        p_sigma = jnp.ones_like(z_0_k)
+    log_q = jnp.sum(normal_log_prob(z_0_k, q_mu_k, q_sigma_k), axis=-1)
+    log_p = jnp.sum(normal_log_prob(z_k_k, p_mu, p_sigma), axis=-1)
+    return log_q - log_p, p_mu, p_sigma
