@@ -1,0 +1,102 @@
+"""Host data loader: shuffling, batching, background prefetch.
+
+Replaces torch DataLoader (reference datasets/*_config.py) with a
+numpy-native loader: batches are assembled by fancy-indexing whole arrays
+(no per-item Python transform chain) on a background thread so host input
+never blocks the device step. Static batch shapes (drop_last) keep a
+single XLA program.
+"""
+
+import queue
+import threading
+from typing import Callable, Dict, Iterator, Optional
+
+import numpy as np
+
+
+class ArrayDataset:
+    """Dataset over parallel numpy arrays (optionally memory-mapped)."""
+
+    def __init__(self, arrays: Dict[str, np.ndarray],
+                 transform: Optional[Callable] = None):
+        lengths = {k: len(v) for k, v in arrays.items()}
+        assert len(set(lengths.values())) == 1, lengths
+        self.arrays = arrays
+        self.transform = transform
+
+    def __len__(self):
+        return len(next(iter(self.arrays.values())))
+
+    def get_batch(self, idx: np.ndarray) -> Dict[str, np.ndarray]:
+        batch = {k: np.asarray(v[idx]) for k, v in self.arrays.items()}
+        if self.transform is not None:
+            batch = self.transform(batch)
+        return batch
+
+
+class DataLoader:
+    """Iterable over shuffled fixed-size batches with background prefetch.
+
+    One pass over the data per __iter__ (epoch), like torch DataLoader.
+    """
+
+    def __init__(self, dataset, batch_size: int, shuffle: bool = True,
+                 drop_last: bool = True, seed: int = 0,
+                 prefetch: int = 3):
+        self.dataset = dataset
+        self.batch_size = batch_size
+        self.shuffle = shuffle
+        self.drop_last = drop_last
+        self.prefetch = prefetch
+        self._rng = np.random.RandomState(seed)
+
+    def __len__(self):
+        n = len(self.dataset)
+        if self.drop_last:
+            return n // self.batch_size
+        return (n + self.batch_size - 1) // self.batch_size
+
+    def _index_batches(self):
+        n = len(self.dataset)
+        order = np.arange(n)
+        if self.shuffle:
+            self._rng.shuffle(order)
+        end = (n // self.batch_size) * self.batch_size \
+            if self.drop_last else n
+        for start in range(0, end, self.batch_size):
+            yield order[start:start + self.batch_size]
+
+    def __iter__(self) -> Iterator[Dict[str, np.ndarray]]:
+        if self.prefetch <= 0:
+            for idx in self._index_batches():
+                yield self.dataset.get_batch(idx)
+            return
+        q: "queue.Queue" = queue.Queue(maxsize=self.prefetch)
+        sentinel = object()
+        error_box = []
+
+        def producer():
+            try:
+                for idx in self._index_batches():
+                    q.put(self.dataset.get_batch(idx))
+            except BaseException as e:  # surface worker errors
+                error_box.append(e)
+            finally:
+                q.put(sentinel)
+
+        thread = threading.Thread(target=producer, daemon=True)
+        thread.start()
+        while True:
+            item = q.get()
+            if item is sentinel:
+                if error_box:
+                    raise error_box[0]
+                return
+            yield item
+
+
+def infinite(loader) -> Iterator:
+    """Endless epoch cycling (the reference's while/for loop at
+    train.py:215-216)."""
+    while True:
+        yield from loader

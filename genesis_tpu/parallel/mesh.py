@@ -1,0 +1,69 @@
+"""Mesh + sharding helpers.
+
+Design: a 2-D logical mesh `(data, model)`. Data parallelism shards the
+batch over `data`; the `model` axis is reserved for tensor-parallel
+sharding rules (the reference's models are ~10^5-10^7 params, so the
+default model-axis size is 1, but the trainer is written against the mesh
+so TP only requires a different mesh shape + param sharding rules).
+
+Collectives are emitted by XLA from the shardings — there is no user-level
+communication code. Multi-host (DCN) initialisation goes through
+`jax.distributed.initialize` when a coordinator is configured.
+"""
+
+import os
+from typing import Optional, Sequence
+
+import jax
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+DATA_AXIS = "data"
+MODEL_AXIS = "model"
+
+
+def init_distributed() -> bool:
+    """Initialise multi-host JAX over DCN if a coordinator is configured
+    (no-op on single host). Returns True if distributed mode is active."""
+    coord = os.environ.get("JAX_COORDINATOR_ADDRESS")
+    if not coord:
+        return False
+    jax.distributed.initialize(
+        coordinator_address=coord,
+        num_processes=int(os.environ.get("JAX_NUM_PROCESSES", "1")),
+        process_id=int(os.environ.get("JAX_PROCESS_ID", "0")))
+    return True
+
+
+def make_mesh(devices: Optional[Sequence] = None,
+              model_parallel: int = 1) -> Mesh:
+    """Build a (data, model) mesh over the given (default: all) devices.
+
+    The device order is kept as enumerated by JAX, which on TPU follows the
+    physical torus order so the `data` all-reduce rides ICI rings.
+    """
+    if devices is None:
+        devices = jax.devices()
+    n = len(devices)
+    if n % model_parallel != 0:
+        raise ValueError(
+            f"{n} devices not divisible by model_parallel={model_parallel}")
+    grid = np.asarray(devices).reshape(n // model_parallel, model_parallel)
+    return Mesh(grid, (DATA_AXIS, MODEL_AXIS))
+
+
+def replicated(mesh: Mesh) -> NamedSharding:
+    return NamedSharding(mesh, P())
+
+
+def data_sharding(mesh: Mesh, ndim: int = 4) -> NamedSharding:
+    """Shard the leading (batch) dim over the data axis."""
+    spec = [DATA_AXIS] + [None] * (ndim - 1)
+    return NamedSharding(mesh, P(*spec))
+
+
+def shard_batch(mesh: Mesh, batch):
+    """Device-put a host batch dict with batch-dim sharding."""
+    def put(x):
+        return jax.device_put(x, data_sharding(mesh, ndim=x.ndim))
+    return jax.tree_util.tree_map(put, batch)
