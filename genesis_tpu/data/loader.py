@@ -34,6 +34,22 @@ class ArrayDataset:
         return batch
 
 
+class MapDataset:
+    """Dataset over a list of items with a per-batch fetch function
+    (file-backed datasets: PNG/JPEG paths etc.). `fetch(items) -> batch
+    dict` runs on the prefetch thread."""
+
+    def __init__(self, items, fetch):
+        self.items = list(items)
+        self.fetch = fetch
+
+    def __len__(self):
+        return len(self.items)
+
+    def get_batch(self, idx: np.ndarray) -> Dict[str, np.ndarray]:
+        return self.fetch([self.items[i] for i in idx])
+
+
 class DataLoader:
     """Iterable over shuffled fixed-size batches with background prefetch.
 

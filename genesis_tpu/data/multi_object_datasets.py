@@ -1,0 +1,111 @@
+"""DeepMind multi-object dataset readers, TF-free.
+
+Feature specs match the vendored readers exactly
+(third_party/multi_object_datasets/{multi_dsprites,objects_room,
+clevr_with_masks,tetrominoes}.py): GZIP tfrecords, images uint8 [H,W,3],
+masks in the canonical [entities, H, W] uint8 layout (trailing singleton
+squeezed like the reference's decode_raw + squeeze).
+"""
+
+from typing import Dict, Iterator, Optional
+
+import numpy as np
+
+from genesis_tpu.data import tfrecord as tfr
+
+# --- specs --------------------------------------------------------------
+
+MULTI_DSPRITES_MAX_ENTITIES = {
+    "binarized": 4, "colored_on_grayscale": 6, "colored_on_colored": 5}
+OBJECTS_ROOM_MAX_ENTITIES = {
+    "train": 7, "six_objects": 10, "empty_room": 4, "identical_color": 10}
+CLEVR_MAX_ENTITIES = 11
+TETROMINOES_MAX_ENTITIES = 4
+
+F = tfr.FixedLenFeature
+
+
+def multi_dsprites_spec(variant: str):
+    m = MULTI_DSPRITES_MAX_ENTITIES[variant]
+    c = 1 if variant == "binarized" else 3
+    return {
+        "image": F([64, 64, c], "string"),
+        # stored as [H, W, entities, 1]; transposed to [entities, H, W]
+        "mask": F([64, 64, m, 1], "string"),
+        "x": F([m], "float32"),
+        "y": F([m], "float32"),
+        "shape": F([m], "float32"),
+        "color": F([m, c], "float32"),
+        "visibility": F([m], "float32"),
+        "orientation": F([m], "float32"),
+        "scale": F([m], "float32"),
+    }, ("image", "mask"), True  # needs mask transpose
+
+
+def objects_room_spec(variant: str):
+    m = OBJECTS_ROOM_MAX_ENTITIES[variant]
+    return {
+        "image": F([64, 64, 3], "string"),
+        "mask": F([m, 64, 64, 1], "string"),
+    }, ("image", "mask"), False
+
+
+def clevr_spec():
+    m = CLEVR_MAX_ENTITIES
+    return {
+        "image": F([240, 320, 3], "string"),
+        "mask": F([m, 240, 320, 1], "string"),
+        "x": F([m], "float32"),
+        "y": F([m], "float32"),
+        "z": F([m], "float32"),
+        "pixel_coords": F([m, 3], "float32"),
+        "rotation": F([m], "float32"),
+        "visibility": F([m], "float32"),
+        # byte features without fixed numeric shape are kept raw
+    }, ("image", "mask"), False
+
+
+def tetrominoes_spec():
+    m = TETROMINOES_MAX_ENTITIES
+    return {
+        "image": F([35, 35, 3], "string"),
+        "mask": F([m, 35, 35, 1], "string"),
+        "x": F([m], "float32"),
+        "y": F([m], "float32"),
+        "shape": F([m], "float32"),
+        "color": F([m, 3], "float32"),
+        "visibility": F([m], "float32"),
+    }, ("image", "mask"), False
+
+
+def dataset(tfrecords_path: str, name: str,
+            variant: Optional[str] = None,
+            skip: int = 0) -> Iterator[Dict[str, np.ndarray]]:
+    """Stream decoded examples {image: [H,W,3] u8, mask: [E,H,W] u8, ...}.
+
+    `skip` fast-skips records without proto parsing (used for the
+    take/skip train/val/test split).
+    """
+    if name == "multi_dsprites":
+        spec, byte_feats, transpose = multi_dsprites_spec(
+            variant or "colored_on_colored")
+    elif name == "objects_room":
+        spec, byte_feats, transpose = objects_room_spec(variant or "train")
+    elif name == "clevr":
+        spec, byte_feats, transpose = clevr_spec()
+    elif name == "tetrominoes":
+        spec, byte_feats, transpose = tetrominoes_spec()
+    else:
+        raise NotImplementedError(f"{name} not a valid dataset.")
+
+    for record in tfr.iter_records(tfrecords_path, compression="GZIP",
+                                   skip=skip):
+        parsed = tfr.parse_example(record)
+        example = tfr.apply_spec(
+            {k: parsed[k] for k in spec if k in parsed},
+            {k: v for k, v in spec.items() if k in parsed},
+            byte_features=byte_feats)
+        if transpose:
+            # multi_dsprites stores masks [H, W, E]; canonical is [E, H, W]
+            example["mask"] = np.transpose(example["mask"], (2, 0, 1))
+        yield example

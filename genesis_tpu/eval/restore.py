@@ -1,0 +1,46 @@
+"""Restore a trained model from a run directory for evaluation CLIs.
+
+Mirrors the reference's eval-script restore flow
+(scripts/compute_fid.py:76-94): hyperparameters come from the run's
+flags.json (config round-tripping is part of the checkpoint contract),
+the model is built through its config file, and the checkpoint restores
+into a freshly initialised state template.
+"""
+
+import os.path as osp
+
+import jax
+
+from genesis_tpu.core import experiment as fet
+from genesis_tpu.core.attrdict import AttrDict
+from genesis_tpu.core.experiment import fprint, json_load
+from genesis_tpu.train import checkpoint as ckpt_lib
+from genesis_tpu.train.state import create_train_state
+
+
+def load_pretrained(model_dir: str, model_file: str, cfg):
+    """Returns (model, state, pretrained_flags, loaders).
+
+    `cfg` supplies the *eval-time* data settings (batch size etc.); the
+    model hyperparameters are restored from `<model_dir>/flags.json`.
+    """
+    flag_path = osp.join(model_dir, "flags.json")
+    fprint(f"Restoring flags from {flag_path}")
+    pretrained = AttrDict(json_load(flag_path))
+    # Eval-time overrides (reference passes the live config to the data
+    # loader but the pretrained flags to the model).
+    pretrained.batch_size = cfg.get("batch_size", 10)
+    pretrained.debug = cfg.get("debug", False)
+    if "seed" in cfg:
+        pretrained.seed = cfg.seed
+
+    loaders = fet.load(cfg.data_config, pretrained)
+    model = fet.load(cfg.model_config, pretrained)
+
+    example_batch = next(iter(loaders[0]))
+    state = create_train_state(model, pretrained, example_batch,
+                               jax.random.PRNGKey(pretrained.get("seed", 0)))
+    model_path = osp.join(model_dir, model_file)
+    fprint(f"Restoring model from {model_path}")
+    state = ckpt_lib.restore_checkpoint(model_path, state)
+    return model, state, pretrained, loaders

@@ -1,0 +1,207 @@
+"""Dataset config tests over tiny synthetic fixtures that mirror each
+dataset's on-disk layout."""
+
+import io
+import os
+import os.path as osp
+import subprocess
+import sys
+
+import numpy as np
+import pytest
+from PIL import Image
+
+from genesis_tpu.core.attrdict import AttrDict
+from genesis_tpu.data import tfrecord as tfr
+
+REPO = osp.dirname(osp.dirname(osp.abspath(__file__)))
+
+
+# --- GQN ----------------------------------------------------------------
+
+def _gqn_fixture(tmp_path, num_train_files=1, num_test_files=1,
+                 records_per_file=24, seq=10):
+    # rooms_ring_camera_debug registry entry: 1 train file, 1 test file
+    rs = np.random.RandomState(0)
+    root = tmp_path / "gqn"
+    for folder, n in (("train", num_train_files), ("test", num_test_files)):
+        base = root / "rooms_ring_camera_debug" / folder
+        base.mkdir(parents=True)
+        length = len(str(n))
+        template = "{:0%d}-of-{:0%d}.tfrecord" % (length, length)
+        for fi in range(n):
+            recs = []
+            for _ in range(records_per_file):
+                jpegs = []
+                for _ in range(seq):
+                    img = Image.fromarray(
+                        rs.randint(0, 255, (64, 64, 3), np.uint8))
+                    buf = io.BytesIO()
+                    img.save(buf, format="JPEG")
+                    jpegs.append(buf.getvalue())
+                # frames: sequence of bytes; cameras: seq*5 floats
+                ex = _multi_bytes_example(jpegs, rs.rand(seq * 5))
+                recs.append(ex)
+            tfr.write_records(str(base / template.format(fi + 1, n)), recs)
+    return str(root)
+
+
+def _multi_bytes_example(byte_list, floats):
+    """Example with a repeated-bytes feature (frames) + float feature."""
+    frames_payload = b"".join(
+        tfr._len_delim(1, b) for b in byte_list)
+    frames_feature = tfr._len_delim(1, frames_payload)  # BytesList
+    arr = np.asarray(floats, "<f4")
+    cams_feature = tfr._len_delim(2, tfr._len_delim(1, arr.tobytes()))
+    entries = b""
+    entries += tfr._len_delim(1, tfr._len_delim(1, b"frames")
+                              + tfr._len_delim(2, frames_feature))
+    entries += tfr._len_delim(1, tfr._len_delim(1, b"cameras")
+                              + tfr._len_delim(2, cams_feature))
+    return tfr._len_delim(1, entries)
+
+
+def test_gqn_loader(tmp_path):
+    from genesis_tpu.data import gqn_config as gqn
+    root = _gqn_fixture(tmp_path)
+    loader = gqn.GQNLoader(
+        data_folder=root, dataset="rooms_ring_camera_debug",
+        mode="train", img_size=64, val_frac=2, batch_size=4,
+        buffer_size=2, seed=0, num_frames=24)
+    batches = list(loader)
+    assert len(batches) == 6
+    b = batches[0]
+    assert b["input"].shape == (4, 64, 64, 3)
+    assert b["input"].dtype == np.float32
+    assert 0.0 <= b["input"].min() and b["input"].max() <= 1.0
+    # devel split slices the train file list
+    files_train = gqn.get_dataset_files(
+        gqn.DATASETS["rooms_ring_camera"], "devel_train", 60, root)
+    files_val = gqn.get_dataset_files(
+        gqn.DATASETS["rooms_ring_camera"], "devel_val", 60, root)
+    assert len(files_train) == (2160 // 60) * 59
+    assert len(files_val) == 2160 - len(files_train)
+    assert not set(files_train) & set(files_val)
+
+
+# --- ShapeStacks ---------------------------------------------------------
+
+def _shapestacks_fixture(tmp_path, n_scenarios=3, imgs_per=2):
+    rs = np.random.RandomState(0)
+    root = tmp_path / "shapestacks"
+    (root / "splits" / "default").mkdir(parents=True)
+    scenarios = []
+    for i in range(n_scenarios):
+        name = f"env_ccs-hard-h=2-vcom={i % 2}-vpsf=0-v=6{i}"
+        scenarios.append(name)
+        rec = root / "recordings" / name
+        rec.mkdir(parents=True)
+        iseg = root / "iseg" / name
+        iseg.mkdir(parents=True)
+        for j in range(imgs_per):
+            img = Image.fromarray(
+                rs.randint(0, 255, (224, 224, 3), np.uint8))
+            img.save(rec / f"rgb-w=5-f=2-l=1-c=unique-cam_{j}-mono-0.png")
+            # iseg map: labels 0..4 encoded * 32 in channel 0
+            labels = rs.randint(0, 5, (224, 224), np.uint8) * 32
+            Image.fromarray(labels).save(
+                iseg / f"iseg-w=0-f=0-l=0-c=original-cam_{j}-mono-0.map",
+                format="PNG")
+    for mode, sel in (("train", scenarios[:2]), ("eval", scenarios[2:]),
+                      ("test", scenarios[2:])):
+        with open(root / "splits" / "default" / f"{mode}.txt", "w") as f:
+            f.write("\n".join(sel) + "\n")
+    return str(root)
+
+
+def test_shapestacks_loader(tmp_path):
+    from genesis_tpu.data import shapestacks_config as ss
+    root = _shapestacks_fixture(tmp_path)
+    cfg = AttrDict(data_folder=root, split_name="default", img_size=64,
+                   shuffle_test=False, num_workers=0, load_instances=True,
+                   copy_to_tmp=False, K_steps=9, batch_size=2, debug=True,
+                   seed=0)
+    tng, val, tst = ss.load(cfg)
+    batch = next(iter(tng))
+    assert batch["input"].shape == (2, 64, 64, 3)
+    assert batch["instances"].shape == (2, 64, 64, 1)
+    labels = np.unique(batch["instances"])
+    assert labels.min() >= 0 and labels.max() <= 4
+    # Stability labels derived from scenario names
+    ds = tng.dataset
+    assert set(ds.stability_labels) <= {0.0, 1.0}
+
+
+# --- Sketchy / APC -------------------------------------------------------
+
+def test_sketchy_loader(tmp_path):
+    from genesis_tpu.data import sketchy_config as sk
+    rs = np.random.RandomState(0)
+    root = tmp_path / "sketchy"
+    for mode in ("train", "valid", "test"):
+        d = root / "processed" / mode / "ep000000"
+        d.mkdir(parents=True)
+        for i in range(4):
+            Image.fromarray(
+                rs.randint(0, 255, (128, 128, 3), np.uint8)).save(
+                d / f"ep000000_t{i:03d}_fl_full.png")
+    cfg = AttrDict(data_folder=str(root), img_size=128, num_workers=0,
+                   K_steps=10, batch_size=2, debug=True, seed=0)
+    tng, val, tst = sk.load(cfg)
+    batch = next(iter(tng))
+    assert batch["input"].shape == (2, 128, 128, 3)
+    # Split file was created
+    assert osp.exists(root / "processed" / "train_images.txt")
+
+
+def test_apc_loader(tmp_path):
+    from genesis_tpu.data import apc_config as apc
+    rs = np.random.RandomState(0)
+    root = tmp_path / "apc"
+    for scene in range(12):
+        d = root / "processed" / "obj" / "env" / f"scene-{scene:04d}"
+        (d / "masks").mkdir(parents=True)
+        for i in range(2):
+            Image.fromarray(
+                rs.randint(0, 255, (128, 128, 3), np.uint8)).save(
+                d / f"frame-{i:06d}.color.png")
+            if scene % 2 == 0:  # half the scenes have masks
+                Image.fromarray(
+                    rs.randint(0, 5, (128, 128), np.uint8)).save(
+                    d / "masks" / f"frame-{i:06d}.mask.png")
+    cfg = AttrDict(data_folder=str(root), img_size=128, num_workers=0,
+                   K_steps=10, batch_size=2, debug=True, seed=0)
+    tng, val, tst = apc.load(cfg)
+    batch = next(iter(tng))
+    assert batch["input"].shape == (2, 128, 128, 3)
+    assert batch["instances"].shape == (2, 128, 128, 1)
+    # Splits persisted + disjoint
+    for m in ("train", "val", "test"):
+        assert osp.exists(root / f"{m}_images.txt")
+
+
+# --- generate_multid + multid pipeline -----------------------------------
+
+def test_generate_multid_and_load(tmp_path):
+    out = subprocess.run(
+        [sys.executable, osp.join(REPO, "scripts", "generate_multid.py"),
+         "--data_folder", str(tmp_path / "md"), "--procedural",
+         "--train_size", "12", "--eval_size", "6"],
+        capture_output=True, text=True,
+        env={**os.environ, "PALLAS_AXON_POOL_IPS": ""})
+    assert out.returncode == 0, out.stderr
+    from genesis_tpu.data import multid_config as md
+    cfg = AttrDict(data_folder=str(tmp_path / "md" / "processed"),
+                   unique_colours=False, load_instances=True, img_size=64,
+                   num_workers=0, mem_map=False, K_steps=5, batch_size=4,
+                   debug=True, seed=0)
+    tng, val, tst = md.load(cfg)
+    assert len(tng) == 3
+    batch = next(iter(tng))
+    assert batch["input"].shape == (4, 64, 64, 3)
+    assert batch["instances"].shape == (4, 64, 64, 1)
+    assert batch["input"].max() <= 1.0
+    assert batch["instances"].max() <= 4
+    # unique-colour variant also written
+    assert osp.exists(
+        tmp_path / "md" / "processed" / "training_images_rand4_unique.npy")
