@@ -137,8 +137,7 @@ class GQNLoader:
     def _frames(self) -> Iterator[np.ndarray]:
         seq = self.info.sequence_size
         for record in self._records():
-            parsed = tfr.parse_example(record)
-            jpegs = parsed["frames"]
+            jpegs = tfr.bytes_values(record, "frames")
             idx = self._rng.randint(seq)
             yield _decode_jpeg(jpegs[idx])
 

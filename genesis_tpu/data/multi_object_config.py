@@ -79,7 +79,7 @@ class MultiObjectLoader:
 
     def _examples(self) -> Iterator[Dict[str, np.ndarray]]:
         it = mods.dataset(self.path, self.name, self.variant,
-                          skip=self.skip)
+                          skip=self.skip, fields=("image", "mask"))
         for i, ex in enumerate(it):
             if i >= self.num_frames:
                 return

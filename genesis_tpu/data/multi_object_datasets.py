@@ -78,34 +78,60 @@ def tetrominoes_spec():
     }, ("image", "mask"), False
 
 
+def _get_spec(name: str, variant: Optional[str]):
+    if name == "multi_dsprites":
+        return multi_dsprites_spec(variant or "colored_on_colored")
+    if name == "objects_room":
+        return objects_room_spec(variant or "train")
+    if name == "clevr":
+        return clevr_spec()
+    if name == "tetrominoes":
+        return tetrominoes_spec()
+    raise NotImplementedError(f"{name} not a valid dataset.")
+
+
+def _reshape_byte_feature(arr: np.ndarray, feat) -> np.ndarray:
+    shape = feat.shape
+    if shape and shape[-1] == 1:  # decode_raw + squeeze(-1)
+        shape = shape[:-1]
+    return arr.reshape(shape)
+
+
 def dataset(tfrecords_path: str, name: str,
             variant: Optional[str] = None,
-            skip: int = 0) -> Iterator[Dict[str, np.ndarray]]:
+            skip: int = 0,
+            fields: Optional[tuple] = None
+            ) -> Iterator[Dict[str, np.ndarray]]:
     """Stream decoded examples {image: [H,W,3] u8, mask: [E,H,W] u8, ...}.
 
-    `skip` fast-skips records without proto parsing (used for the
-    take/skip train/val/test split).
+    `skip` fast-skips records without proto parsing (the take/skip
+    train/val/test split). `fields` restricts decoding to the named
+    features — with the native parser this extracts just those fields
+    from the wire bytes (the hot path decodes only image+mask).
     """
-    if name == "multi_dsprites":
-        spec, byte_feats, transpose = multi_dsprites_spec(
-            variant or "colored_on_colored")
-    elif name == "objects_room":
-        spec, byte_feats, transpose = objects_room_spec(variant or "train")
-    elif name == "clevr":
-        spec, byte_feats, transpose = clevr_spec()
-    elif name == "tetrominoes":
-        spec, byte_feats, transpose = tetrominoes_spec()
-    else:
-        raise NotImplementedError(f"{name} not a valid dataset.")
+    spec, byte_feats, transpose = _get_spec(name, variant)
 
     for record in tfr.iter_records(tfrecords_path, compression="GZIP",
                                    skip=skip):
-        parsed = tfr.parse_example(record)
-        example = tfr.apply_spec(
-            {k: parsed[k] for k in spec if k in parsed},
-            {k: v for k, v in spec.items() if k in parsed},
-            byte_features=byte_feats)
-        if transpose:
-            # multi_dsprites stores masks [H, W, E]; canonical is [E, H, W]
+        example: Dict[str, np.ndarray] = {}
+        if fields is not None:
+            for key in fields:
+                feat = spec[key]
+                if feat.dtype == "string" and key in byte_feats:
+                    arr = tfr.extract_bytes(record, key)
+                    example[key] = _reshape_byte_feature(arr, feat)
+                elif feat.dtype == "float32":
+                    example[key] = tfr.extract_floats(
+                        record, key).reshape(feat.shape)
+                else:
+                    raise ValueError(f"Unsupported fast field {key}")
+        else:
+            parsed = tfr.parse_example(record)
+            example = tfr.apply_spec(
+                {k: parsed[k] for k in spec if k in parsed},
+                {k: v for k, v in spec.items() if k in parsed},
+                byte_features=byte_feats)
+        if transpose and "mask" in example:
+            # multi_dsprites stores masks [H, W, E]; canonical is [E,H,W]
             example["mask"] = np.transpose(example["mask"], (2, 0, 1))
         yield example

@@ -71,10 +71,52 @@ def _open(path: str, compression: Optional[str]):
     return open(path, "rb")
 
 
+def _native_lib():
+    try:
+        from genesis_tpu import native
+        return native.lib()
+    except Exception:
+        return None
+
+
+def _iter_records_native(lib, path: str, compression: Optional[str],
+                         verify_crc: bool, skip: int) -> Iterator[bytes]:
+    import ctypes
+    handle = lib.gt_open(path.encode(), 1 if compression == "GZIP" else 0,
+                         1 if verify_crc else 0)
+    if not handle:
+        raise FileNotFoundError(path)
+    try:
+        if skip:
+            skipped = lib.gt_skip(handle, skip)
+            if skipped < skip:
+                return
+        capacity = 1 << 20
+        buf = ctypes.create_string_buffer(capacity)
+        while True:
+            n = lib.gt_next(handle, buf, capacity)
+            if n == -1:
+                return
+            if n <= -2:  # buffer too small; required size encoded
+                capacity = int(-(n + 2)) * 2
+                buf = ctypes.create_string_buffer(capacity)
+                n = lib.gt_next(handle, buf, capacity)
+            if n == -3 or n < 0:
+                raise IOError(f"Corrupt tfrecord stream: {path}")
+            yield buf.raw[:n]
+    finally:
+        lib.gt_close(handle)
+
+
 def iter_records(path: str, compression: Optional[str] = None,
                  verify_crc: bool = False,
                  skip: int = 0) -> Iterator[bytes]:
-    """Yield raw record payloads."""
+    """Yield raw record payloads (native C++ fast path when built)."""
+    lib = _native_lib()
+    if lib is not None:
+        yield from _iter_records_native(lib, path, compression,
+                                        verify_crc, skip)
+        return
     with _open(path, compression) as f:
         idx = 0
         while True:
@@ -236,6 +278,66 @@ def parse_example(record: bytes) -> Dict[str, Union[List[bytes],
                 value = np.asarray(ints, np.int64)
         out[key] = value
     return out
+
+
+# ---------------------------------------------------------------------------
+# Fast per-feature extraction (native when available)
+# ---------------------------------------------------------------------------
+
+def extract_bytes(record: bytes, key: str) -> Optional[np.ndarray]:
+    """Concatenated BytesList payload as a uint8 array (decode_raw)."""
+    lib = _native_lib()
+    if lib is not None:
+        import ctypes
+        n = lib.gt_extract(record, len(record), key.encode(), 1, None, 0)
+        if n < 0:
+            return None
+        out = np.empty(n, np.uint8)
+        lib.gt_extract(record, len(record), key.encode(), 1,
+                       out.ctypes.data_as(ctypes.c_void_p), n)
+        return out
+    parsed = parse_example(record)
+    if key not in parsed or not isinstance(parsed[key], list):
+        return None
+    return np.frombuffer(b"".join(parsed[key]), np.uint8).copy()
+
+
+def extract_floats(record: bytes, key: str) -> Optional[np.ndarray]:
+    lib = _native_lib()
+    if lib is not None:
+        import ctypes
+        n = lib.gt_extract(record, len(record), key.encode(), 2, None, 0)
+        if n < 0:
+            return None
+        out = np.empty(n, np.float32)
+        lib.gt_extract(record, len(record), key.encode(), 2,
+                       out.ctypes.data_as(ctypes.c_void_p), n * 4)
+        return out
+    parsed = parse_example(record)
+    val = parsed.get(key)
+    return None if val is None else np.asarray(val, np.float32)
+
+
+def bytes_values(record: bytes, key: str) -> Optional[list]:
+    """Per-element BytesList values (e.g. GQN per-frame JPEG strings)."""
+    lib = _native_lib()
+    if lib is not None:
+        import ctypes
+        count = lib.gt_bytes_count(record, len(record), key.encode())
+        if count < 0:
+            return None
+        out = []
+        for i in range(count):
+            size = lib.gt_bytes_at(record, len(record), key.encode(), i,
+                                   None, 0)
+            buf = ctypes.create_string_buffer(size)
+            lib.gt_bytes_at(record, len(record), key.encode(), i, buf,
+                            size)
+            out.append(buf.raw[:size])
+        return out
+    parsed = parse_example(record)
+    val = parsed.get(key)
+    return val if isinstance(val, list) else None
 
 
 # ---------------------------------------------------------------------------
