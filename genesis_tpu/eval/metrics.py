@@ -106,3 +106,49 @@ def segmentation_covering(gt, pred, num_pred: int,
 def masks_to_segmentation(log_m_k):
     """Argmax over the slot axis: [K,B,H,W,1] -> [B,H,W] int32."""
     return jnp.argmax(log_m_k[..., 0], axis=0).astype(jnp.int32)
+
+
+def dataset_ari(model, state, data_loader, num_images: int = 300,
+                seed: int = 0):
+    """ARI and FG-ARI over a dataset (reference utils/misc.py:117-159),
+    with the per-image sklearn loop replaced by the batched jnp metric.
+
+    Returns (avg_ari, avg_ari_fg, ari_list, ari_fg_list)."""
+    import numpy as np
+    from genesis_tpu.core.experiment import fprint
+
+    @jax.jit
+    def step(state, batch, key):
+        variables = {"params": state.params}
+        if jax.tree_util.tree_leaves(state.batch_stats):
+            variables["batch_stats"] = state.batch_stats
+        _, _, stats, _, _ = model.apply(
+            variables, batch["input"], False, rngs={"sample": key})
+        gt = batch["instances"]
+        if gt.ndim == 4:
+            gt = gt[..., 0]
+        pred = masks_to_segmentation(stats["log_m_k"])
+        num_pred = stats["log_m_k"].shape[0]
+        return (adjusted_rand_index(pred, gt, num_pred),
+                adjusted_rand_index(pred, gt, num_pred, fg_only=True))
+
+    fprint("Computing ARI on dataset")
+    ari, ari_fg = [], []
+    key = jax.random.PRNGKey(seed)
+    for batch in data_loader:
+        if "instances" not in batch:
+            return 0.0, 0.0, [0], [0]
+        key, sub = jax.random.split(key)
+        a, afg = step(state, {k: jnp.asarray(v) for k, v in batch.items()},
+                      sub)
+        ari += np.asarray(a).tolist()
+        ari_fg += np.asarray(afg).tolist()
+        fprint(f"After [{len(ari)} / {num_images}] images: "
+               f"ARI {np.mean(ari):.4f}, FG ARI {np.mean(ari_fg):.4f}")
+        if len(ari) >= num_images:
+            break
+    ari, ari_fg = ari[:num_images], ari_fg[:num_images]
+    import numpy as np  # noqa: F811
+    fprint(f"FINAL ARI for {len(ari)} images: {np.mean(ari):.4f}")
+    fprint(f"FINAL FG ARI for {len(ari_fg)} images: {np.mean(ari_fg):.4f}")
+    return float(np.mean(ari)), float(np.mean(ari_fg)), ari, ari_fg

@@ -47,6 +47,8 @@ flags.DEFINE_boolean("pixel_bound", True, "Bound pixel values to [0, 1].")
 flags.DEFINE_float("pixel_std1", 0.7, "StdDev of reconstructed pixels.")
 flags.DEFINE_float("pixel_std2", 0.7, "StdDev of reconstructed pixels.")
 flags.DEFINE_boolean("montecarlo_kl", True, "Evaluate KL via MC samples.")
+flags.DEFINE_string("compute_dtype", "bfloat16",
+                    "{float32, bfloat16} - conv/matmul computation dtype.")
 
 
 def load(cfg):
@@ -69,6 +71,7 @@ def load(cfg):
         pixel_std1=cfg.pixel_std1,
         pixel_std2=cfg.pixel_std2,
         input_channels=cfg.get("input_channels", 3),
+        compute_dtype=cfg.get("compute_dtype", "bfloat16"),
     )
 
 
@@ -120,13 +123,15 @@ class Genesis(nn.Module):
     pixel_std1: float = 0.7
     pixel_std2: float = 0.7
     input_channels: int = 3
+    compute_dtype: str = "bfloat16"
 
     def setup(self):
         assert self.K_steps > 1
         # - Attention core + process (genesis_config.py:87-96)
         att_core = GatedConvVAE(
             z_size=self.ldim, img_size=self.img_size, nout=1,
-            enc_norm=self.enc_norm, dec_norm=self.dec_norm)
+            enc_norm=self.enc_norm, dec_norm=self.dec_norm,
+            compute_dtype=self.compute_dtype)
         self.att_process = LatentSBP(core=att_core)
         # - Component stage (genesis_config.py:98-126)
         if self.two_stage:
@@ -145,13 +150,16 @@ class Genesis(nn.Module):
                     comp_enc_channels=self.comp_enc_channels,
                     comp_dec_channels=self.comp_dec_channels,
                     comp_dec_layers=self.comp_dec_layers,
-                    act="elu", pixel_bound=self.pixel_bound)
+                    act="elu", pixel_bound=self.pixel_bound,
+                    compute_dtype=self.compute_dtype)
         else:
+            dt = (jnp.bfloat16 if self.compute_dtype == "bfloat16"
+                  else None)
             self.decoder = BroadcastDecoder(
                 in_chnls=self.ldim, out_chnls=self.input_channels,
                 h_chnls=self.comp_dec_channels,
                 num_layers=self.comp_dec_layers,
-                img_dim=self.img_size, act="elu")
+                img_dim=self.img_size, act="elu", dtype=dt)
 
         # - Priors (genesis_config.py:128-138)
         if self.autoreg_prior:

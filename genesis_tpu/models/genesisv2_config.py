@@ -42,6 +42,9 @@ flags.DEFINE_boolean("autoreg_prior", True, "Autoregressive prior.")
 flags.DEFINE_boolean("pixel_bound", True, "Bound pixel values to [0, 1].")
 flags.DEFINE_float("pixel_std1", 0.7, "StdDev of reconstructed pixels.")
 flags.DEFINE_float("pixel_std2", 0.7, "StdDev of reconstructed pixels.")
+flags.DEFINE_string("compute_dtype", "bfloat16",
+                    "{float32, bfloat16} - conv/matmul computation dtype "
+                    "(params and losses stay float32).")
 
 
 def load(cfg):
@@ -59,6 +62,7 @@ def load(cfg):
         pixel_bound=cfg.pixel_bound,
         pixel_std=cfg.pixel_std1,
         input_channels=cfg.get("input_channels", 3),
+        compute_dtype=cfg.get("compute_dtype", "bfloat16"),
     )
 
 
@@ -75,9 +79,12 @@ class GenesisV2(nn.Module):
     pixel_bound: bool = True
     pixel_std: float = 0.7
     input_channels: int = 3
+    compute_dtype: str = "bfloat16"
 
     def setup(self):
         F = self.feat_dim
+        dt = jnp.bfloat16 if self.compute_dtype == "bfloat16" else None
+        self._dt = dt
         self.encoder = UNet(
             num_blocks=int(math.log2(self.img_size) - 1),
             img_size=self.img_size,
@@ -85,7 +92,8 @@ class GenesisV2(nn.Module):
             in_chnls=self.input_channels,
             out_chnls=F,
             norm="gn",
-            use_final_conv=False)  # final_conv = Identity (v2_config.py:70)
+            use_final_conv=False,  # final_conv = Identity (v2_config.py:70)
+            dtype=dt)
         self.att_process = InstanceColouringSBP(
             img_size=self.img_size,
             kernel=self.kernel,
@@ -93,21 +101,23 @@ class GenesisV2(nn.Module):
             K_steps=self.K_steps,
             feat_dim=F,
             semiconv=self.semiconv)
-        self.seg_head = B.ConvGNReLU(nout=F, kernel=3, stride=1, padding=1)
+        self.seg_head = B.ConvGNReLU(nout=F, kernel=3, stride=1,
+                                     padding=1, dtype=dt)
         self.feat_head_conv = B.ConvGNReLU(nout=F, kernel=3, stride=1,
-                                           padding=1)
-        self.feat_head_out = B.Conv(2 * F, 1)
+                                           padding=1, dtype=dt)
+        self.feat_head_out = B.Conv(2 * F, 1, dtype=dt)
         self.z_head = nn.Sequential([
             nn.LayerNorm(),
             B.Dense(2 * F), nn.relu,
             B.Dense(2 * F)])
         # Decoder: broadcast to img/16 then 4 stride-2 deconvs + 1x1 head.
         c = F
-        self.dec_convs = [B.ConvT(c, 5, 2, "SAME"),
-                          B.ConvT(c, 5, 2, "SAME"),
-                          B.ConvT(min(c, 64), 5, 2, "SAME"),
-                          B.ConvT(min(c, 64), 5, 2, "SAME")]
-        self.dec_norms = [nn.GroupNorm(num_groups=8, epsilon=1e-5)
+        self.dec_convs = [B.ConvT(c, 5, 2, "SAME", dtype=dt),
+                          B.ConvT(c, 5, 2, "SAME", dtype=dt),
+                          B.ConvT(min(c, 64), 5, 2, "SAME", dtype=dt),
+                          B.ConvT(min(c, 64), 5, 2, "SAME", dtype=dt)]
+        self.dec_norms = [nn.GroupNorm(num_groups=8, epsilon=1e-5,
+                                       dtype=dt)
                           for _ in range(4)]
         self.dec_broadcast = B.BroadcastLayer(self.img_size // 16)
         self.dec_head = B.Conv(self.input_channels + 1, 1)
@@ -128,6 +138,7 @@ class GenesisV2(nn.Module):
         nin = self.input_channels
         K, bsz = z_k.shape[0], z_k.shape[1]
         dec = self._decoder_module(z_k.reshape(K * bsz, -1), train)
+        dec = dec.astype(jnp.float32)  # losses/masks in f32
         dec = dec.reshape((K, bsz) + dec.shape[1:])
         x_r_k = dec[..., :nin]
         m_r_logits_k = dec[..., nin:]
@@ -143,14 +154,18 @@ class GenesisV2(nn.Module):
         enc_feat, _ = self.encoder(x, train)
         enc_feat = nn.relu(enc_feat)
 
+        # Attention math (SBP log-space recursion) and pooling stay f32.
+
         # --- Predict attention masks (IC-SBP) ---
+        seg_feat = self.seg_head(enc_feat, train).astype(jnp.float32)
         log_m_k, log_s_k, att_stats = self.att_process(
-            self.seg_head(enc_feat, train), self.K_steps - 1, train,
+            seg_feat, self.K_steps - 1, train,
             dynamic_K=self.dynamic_K)
 
         # --- Object features, latents (vectorised slot pooling) ---
         masks = jnp.exp(log_m_k)                       # [K,B,H,W,1]
         feat = self.feat_head_out(self.feat_head_conv(enc_feat, train))
+        feat = feat.astype(jnp.float32)
         obj_sum = jnp.einsum("kbhwi,bhwc->kbc", masks, feat)
         mask_sum = jnp.sum(masks, axis=(2, 3, 4))      # [K,B]
         obj_feat = obj_sum / (mask_sum[..., None] + 1e-5)

@@ -33,6 +33,8 @@ flags.DEFINE_integer("comp_dec_channels", 32,
                      "Num channels in Broadcast Decoder.")
 flags.DEFINE_integer("comp_dec_layers", 4,
                      "Num layers in Broadcast Decoder.")
+flags.DEFINE_string("compute_dtype", "bfloat16",
+                    "{float32, bfloat16} - conv/matmul computation dtype.")
 
 
 def load(cfg):
@@ -49,6 +51,7 @@ def load(cfg):
         comp_dec_channels=cfg.comp_dec_channels,
         comp_dec_layers=cfg.comp_dec_layers,
         input_channels=cfg.get("input_channels", 3),
+        compute_dtype=cfg.get("compute_dtype", "bfloat16"),
     )
 
 
@@ -65,15 +68,18 @@ class MONet(nn.Module):
     comp_dec_channels: int = 32
     comp_dec_layers: int = 4
     input_channels: int = 3
+    compute_dtype: str = "bfloat16"
 
     def setup(self):
+        dt = (jnp.bfloat16 if self.compute_dtype == "bfloat16" else None)
         core = UNet(
             num_blocks=int(math.log2(self.img_size) - 1),
             img_size=self.img_size,
             filter_start=self.filter_start,
             in_chnls=self.input_channels + 1,
             out_chnls=1,
-            norm="in")
+            norm="in",
+            dtype=dt)
         self.att_process = SimpleSBP(core=core)
         # Component VAE reconstructs RGB + mask logit; the pixel bound is
         # applied here to the RGB channels only (monet_config.py:67-68,85-89)
@@ -86,7 +92,8 @@ class MONet(nn.Module):
             comp_dec_channels=self.comp_dec_channels,
             comp_dec_layers=self.comp_dec_layers,
             act="relu",
-            pixel_bound=False)
+            pixel_bound=False,
+            compute_dtype=self.compute_dtype)
 
     def _std(self):
         std = jnp.full((self.K_steps,), self.pixel_std2, jnp.float32)

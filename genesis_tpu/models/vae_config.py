@@ -18,6 +18,8 @@ flags.DEFINE_boolean("broadcast_decoder", False,
 # Losses
 flags.DEFINE_boolean("pixel_bound", True, "Bound pixel values to [0, 1].")
 flags.DEFINE_float("pixel_std", 0.7, "StdDev of reconstructed pixels.")
+flags.DEFINE_string("compute_dtype", "bfloat16",
+                    "{float32, bfloat16} - conv/matmul computation dtype.")
 
 
 def load(cfg):
@@ -29,6 +31,7 @@ def load(cfg):
         pixel_bound=cfg.pixel_bound,
         broadcast_decoder=cfg.get("broadcast_decoder", False),
         input_channels=cfg.get("input_channels", 3),
+        compute_dtype=cfg.get("compute_dtype", "bfloat16"),
     )
 
 
@@ -53,13 +56,15 @@ class BaselineVAE(nn.Module):
     pixel_bound: bool = True
     broadcast_decoder: bool = False
     input_channels: int = 3
+    compute_dtype: str = "bfloat16"
 
     K_steps = None
 
     def setup(self):
         self.vae = GatedConvVAE(
             z_size=self.ldim, img_size=self.img_size,
-            nout=self.input_channels)
+            nout=self.input_channels,
+            compute_dtype=self.compute_dtype)
         if self.broadcast_decoder:
             self.px_nn = _BroadcastPx(self.ldim, self.img_size)
             self.px_mean = B.Conv(self.input_channels, 1)

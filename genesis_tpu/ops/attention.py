@@ -37,6 +37,7 @@ def sbp_rollout(a_logits_k):
     log_s[k] is the scope *before* step k (log_s[0] = 0); the final mask is
     the leftover scope (reference attention.py:50).
     """
+    a_logits_k = a_logits_k.astype(jnp.float32)
     log_a = jax.nn.log_sigmoid(a_logits_k)
     log_na = jax.nn.log_sigmoid(-a_logits_k)
     zeros = jnp.zeros_like(log_a[:1])
@@ -56,8 +57,11 @@ class SimpleSBP(nn.Module):
 
     def __call__(self, x, steps_to_run: int, train: bool = True):
         def step(core, log_s, _):
-            core_out, _ = core(jnp.concatenate([x, log_s], axis=-1), train)
-            a_logits = core_out[..., :1]
+            core_out, _ = core(
+                jnp.concatenate([x, log_s.astype(x.dtype)], axis=-1),
+                train)
+            # SBP log-space recursion stays f32 even under bf16 compute.
+            a_logits = core_out[..., :1].astype(jnp.float32)
             log_m = log_s + jax.nn.log_sigmoid(a_logits)
             new_s = log_s + jax.nn.log_sigmoid(-a_logits)
             return new_s, (log_m, new_s)

@@ -35,29 +35,33 @@ zeros_init = nn.initializers.zeros
 
 
 def Conv(features: int, kernel: int, stride: int = 1,
-         padding="SAME", use_bias: bool = True, name: Optional[str] = None):
-    """2D conv wrapper with torch-style init. padding: 'SAME'|'VALID'|int."""
+         padding="SAME", use_bias: bool = True, name: Optional[str] = None,
+         dtype=None):
+    """2D conv wrapper with torch-style init. padding: 'SAME'|'VALID'|int.
+    `dtype` is the computation dtype (params stay float32)."""
     if isinstance(padding, int):
         padding = ((padding, padding), (padding, padding))
     return nn.Conv(features, (kernel, kernel), strides=(stride, stride),
-                   padding=padding, use_bias=use_bias,
+                   padding=padding, use_bias=use_bias, dtype=dtype,
                    kernel_init=torch_init, bias_init=zeros_init, name=name)
 
 
 def ConvT(features: int, kernel: int, stride: int = 1,
-          padding="SAME", use_bias: bool = True, name: Optional[str] = None):
+          padding="SAME", use_bias: bool = True, name: Optional[str] = None,
+          dtype=None):
     """2D transposed conv (torch ConvTranspose2d k5/s2/p2/op1 == SAME 2x)."""
     if isinstance(padding, int):
         padding = ((padding, padding), (padding, padding))
     return nn.ConvTranspose(features, (kernel, kernel),
                             strides=(stride, stride), padding=padding,
-                            use_bias=use_bias, kernel_init=torch_init,
+                            use_bias=use_bias, dtype=dtype,
+                            kernel_init=torch_init,
                             bias_init=zeros_init, name=name)
 
 
-def Dense(features: int, name: Optional[str] = None):
+def Dense(features: int, name: Optional[str] = None, dtype=None):
     return nn.Dense(features, kernel_init=torch_init, bias_init=zeros_init,
-                    name=name)
+                    dtype=dtype, name=name)
 
 
 # ---------------------------------------------------------------------------
@@ -206,11 +210,12 @@ class ConvReLU(nn.Module):
     kernel: int
     stride: int = 1
     padding: Any = 0
+    dtype: Any = None
 
     @nn.compact
     def __call__(self, x, train: bool = True):
         return nn.relu(Conv(self.nout, self.kernel, self.stride,
-                            self.padding)(x))
+                            self.padding, dtype=self.dtype)(x))
 
 
 class ConvINReLU(nn.Module):
@@ -218,12 +223,14 @@ class ConvINReLU(nn.Module):
     kernel: int
     stride: int = 1
     padding: Any = 0
+    dtype: Any = None
 
     @nn.compact
     def __call__(self, x, train: bool = True):
         x = Conv(self.nout, self.kernel, self.stride, self.padding,
-                 use_bias=False)(x)
-        x = nn.GroupNorm(num_groups=None, group_size=1, epsilon=1e-5)(x)
+                 use_bias=False, dtype=self.dtype)(x)
+        x = nn.GroupNorm(num_groups=None, group_size=1, epsilon=1e-5,
+                         dtype=self.dtype)(x)
         return nn.relu(x)
 
 
@@ -233,12 +240,14 @@ class ConvGNReLU(nn.Module):
     stride: int = 1
     padding: Any = 0
     groups: int = 8
+    dtype: Any = None
 
     @nn.compact
     def __call__(self, x, train: bool = True):
         x = Conv(self.nout, self.kernel, self.stride, self.padding,
-                 use_bias=False)(x)
-        x = nn.GroupNorm(num_groups=self.groups, epsilon=1e-5)(x)
+                 use_bias=False, dtype=self.dtype)(x)
+        x = nn.GroupNorm(num_groups=self.groups, epsilon=1e-5,
+                         dtype=self.dtype)(x)
         return nn.relu(x)
 
 

@@ -27,16 +27,19 @@ class ComponentVAE(nn.Module):
     comp_dec_layers: int = 4
     act: str = "elu"
     pixel_bound: bool = True
+    compute_dtype: str = "float32"
 
     def setup(self):
+        dt = jnp.bfloat16 if self.compute_dtype == "bfloat16" else None
         self.encoder_module = MONetCompEncoder(
             input_channels=self.input_channels,
             comp_enc_channels=self.comp_enc_channels,
-            comp_ldim=self.comp_ldim, img_size=self.img_size, act=self.act)
+            comp_ldim=self.comp_ldim, img_size=self.img_size,
+            act=self.act, dtype=dt)
         self.decoder_module = BroadcastDecoder(
             in_chnls=self.comp_ldim, out_chnls=self.nout,
             h_chnls=self.comp_dec_channels, num_layers=self.comp_dec_layers,
-            img_dim=self.img_size, act=self.act)
+            img_dim=self.img_size, act=self.act, dtype=dt)
 
     def encode(self, x, train: bool = True):
         out = self.encoder_module(x, train)

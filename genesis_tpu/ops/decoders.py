@@ -26,13 +26,18 @@ class BroadcastDecoder(nn.Module):
     num_layers: int
     img_dim: int
     act: str = "elu"
+    dtype: object = None
 
     @nn.compact
     def __call__(self, z, train: bool = True):
+        import jax.numpy as jnp
         act = ACTS[self.act]
         broad_dim = self.img_dim + 2 * self.num_layers
         x = B.BroadcastLayer(broad_dim)(z)
-        x = act(B.Conv(self.h_chnls, 3, padding="VALID")(x))
+        x = act(B.Conv(self.h_chnls, 3, padding="VALID",
+                       dtype=self.dtype)(x))
         for _ in range(self.num_layers - 1):
-            x = act(B.Conv(self.h_chnls, 3, padding="VALID")(x))
-        return B.Conv(self.out_chnls, 1)(x)
+            x = act(B.Conv(self.h_chnls, 3, padding="VALID",
+                           dtype=self.dtype)(x))
+        # 1x1 head in f32 for pixel losses
+        return B.Conv(self.out_chnls, 1)(x.astype(jnp.float32))

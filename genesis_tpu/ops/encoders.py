@@ -18,16 +18,20 @@ class MONetCompEncoder(nn.Module):
     comp_ldim: int
     img_size: int
     act: str = "elu"
+    dtype: object = None
 
     @nn.compact
     def __call__(self, x, train: bool = True):
         act = ACTS[self.act]
         c = self.comp_enc_channels
-        x = act(B.Conv(c, 3, 2, 1)(x))
-        x = act(B.Conv(c, 3, 2, 1)(x))
-        x = act(B.Conv(2 * c, 3, 2, 1)(x))
-        x = act(B.Conv(2 * c, 3, 2, 1)(x))
+        dt = self.dtype
+        x = act(B.Conv(c, 3, 2, 1, dtype=dt)(x))
+        x = act(B.Conv(c, 3, 2, 1, dtype=dt)(x))
+        x = act(B.Conv(2 * c, 3, 2, 1, dtype=dt)(x))
+        x = act(B.Conv(2 * c, 3, 2, 1, dtype=dt)(x))
         x = x.reshape(x.shape[0], -1)
         nhid = max(256, 2 * self.comp_ldim)
-        x = act(B.Dense(nhid)(x))
-        return B.Dense(2 * self.comp_ldim)(x)
+        x = act(B.Dense(nhid, dtype=dt)(x))
+        # Posterior head in f32
+        import jax.numpy as jnp
+        return B.Dense(2 * self.comp_ldim)(x.astype(jnp.float32))

@@ -42,6 +42,7 @@ class GatedConv(nn.Module):
     transpose: bool = False
     h_norm: Optional[str] = None
     g_norm: Optional[str] = None
+    dtype: Optional[object] = None
 
     @nn.compact
     def __call__(self, x, train: bool = True):
@@ -50,10 +51,11 @@ class GatedConv(nn.Module):
             # exact sxs upsampling for k=5 -> flax 'SAME'; k=kz/s=1/p=0 is
             # the 1x1 -> kz x kz seed upsample -> flax 'VALID'.
             padding = "SAME" if self.padding > 0 else "VALID"
-            conv = B.ConvT(2 * self.nout, self.kernel, self.stride, padding)
+            conv = B.ConvT(2 * self.nout, self.kernel, self.stride,
+                           padding, dtype=self.dtype)
         else:
             conv = B.Conv(2 * self.nout, self.kernel, self.stride,
-                          self.padding)
+                          self.padding, dtype=self.dtype)
         h, g = jnp.split(conv(x), 2, axis=-1)
         for which, norm_kind in (("h", self.h_norm), ("g", self.g_norm)):
             factory = B.make_norm(norm_kind)
@@ -77,14 +79,17 @@ class GatedConvEncoder(nn.Module):
     cfc: int            # final feature channels (256)
     kfc: int            # final valid kernel (last_kernel_size)
     norm: Optional[str] = None
+    dtype: Optional[object] = None
 
     @nn.compact
     def __call__(self, x, train: bool = True):
         for o, s in zip(self.cout, self.strides):
             x = GatedConv(o, 5, s, 2, h_norm=self.norm,
-                          g_norm=self.norm)(x, train)
-        x = GatedConv(self.cfc, self.kfc, 1, 0)(x, train)  # -> [B,1,1,cfc]
-        return x.reshape(x.shape[0], -1)
+                          g_norm=self.norm, dtype=self.dtype)(x, train)
+        x = GatedConv(self.cfc, self.kfc, 1, 0,
+                      dtype=self.dtype)(x, train)  # -> [B,1,1,cfc]
+        # Posterior heads and downstream latent math run in f32.
+        return x.reshape(x.shape[0], -1).astype(jnp.float32)
 
 
 class GatedConvDecoder(nn.Module):
@@ -95,14 +100,16 @@ class GatedConvDecoder(nn.Module):
     strides: Sequence[int]
     kz: int
     norm: Optional[str] = None
+    dtype: Optional[object] = None
 
     @nn.compact
     def __call__(self, z, train: bool = True):
         x = z[:, None, None, :]  # [B,1,1,zdim]
-        x = GatedConv(self.cin0, self.kz, 1, 0, transpose=True)(x, train)
+        x = GatedConv(self.cin0, self.kz, 1, 0, transpose=True,
+                      dtype=self.dtype)(x, train)
         for o, s in zip(self.cout, self.strides):
             x = GatedConv(o, 5, s, 2, transpose=True, h_norm=self.norm,
-                          g_norm=self.norm)(x, train)
+                          g_norm=self.norm, dtype=self.dtype)(x, train)
         return x
 
 
@@ -118,19 +125,22 @@ class GatedConvVAE(nn.Module):
     enc_norm: Optional[str] = None
     dec_norm: Optional[str] = None
     feature_dim: int = 256
+    compute_dtype: str = "float32"
 
     def setup(self):
+        dt = jnp.bfloat16 if self.compute_dtype == "bfloat16" else None
         last_kernel, strides = _stride_table(self.img_size)
         self.last_kernel_size = last_kernel
         self.q_z_nn = GatedConvEncoder(
             cout=[32, 32, 64, 64, 64], strides=strides,
-            cfc=self.feature_dim, kfc=last_kernel, norm=self.enc_norm)
+            cfc=self.feature_dim, kfc=last_kernel, norm=self.enc_norm,
+            dtype=dt)
         self.q_z_mean = B.Dense(self.z_size)
         self.q_z_var_head = B.Dense(self.z_size)
         self.p_x_nn = GatedConvDecoder(
             cin0=64, cout=[64, 32, 32, 32, 32],
             strides=list(reversed(strides)), kz=last_kernel,
-            norm=self.dec_norm)
+            norm=self.dec_norm, dtype=dt)
         self.p_x_mean = B.Conv(self.nout, 1)
 
     def encode_features(self, x, train: bool = True):
@@ -147,7 +157,9 @@ class GatedConvVAE(nn.Module):
         return h, mean, var
 
     def decode(self, z, train: bool = True):
-        return self.p_x_mean(self.p_x_nn(z, train))
+        # 1x1 head in f32; pixel losses downstream stay f32.
+        return self.p_x_mean(
+            self.p_x_nn(z, train)).astype(jnp.float32)
 
     def reparameterize(self, mean, var, key):
         sigma = jnp.sqrt(var)

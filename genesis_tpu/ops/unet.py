@@ -6,7 +6,7 @@ a 3-layer 128-wide MLP bottleneck. `final_conv` is a 1x1 conv, optionally
 disabled (GENESIS-V2 replaces it with Identity, genesisv2_config.py:70).
 """
 
-from typing import Optional, Sequence
+from typing import Any, Optional, Sequence
 
 import jax.numpy as jnp
 from flax import linen as nn
@@ -40,6 +40,7 @@ class UNet(nn.Module):
     out_chnls: int = 1
     norm: str = "in"
     use_final_conv: bool = True
+    dtype: Any = None  # computation dtype (bf16 on TPU; params f32)
 
     @nn.compact
     def __call__(self, x, train: bool = True):
@@ -59,25 +60,27 @@ class UNet(nn.Module):
         # Down path
         skips = []
         for i, o in enumerate(enc_out):
-            x = block(nout=o, kernel=3, stride=1, padding=1)(x, train)
+            x = block(nout=o, kernel=3, stride=1, padding=1,
+                      dtype=self.dtype)(x, train)
             skips.append(x)
             if i < self.num_blocks - 1:
                 x = B.down2_nearest(x)
 
         # MLP bottleneck (Flatten -> 128 -> 128 -> 2c*fm^2, all ReLU)
         h = x.reshape(batch_size, -1)
-        h = nn.relu(B.Dense(128)(h))
-        h = nn.relu(B.Dense(128)(h))
-        h = nn.relu(B.Dense(2 * c * fm * fm)(h))
+        h = nn.relu(B.Dense(128, dtype=self.dtype)(h))
+        h = nn.relu(B.Dense(128, dtype=self.dtype)(h))
+        h = nn.relu(B.Dense(2 * c * fm * fm, dtype=self.dtype)(h))
         x = h.reshape(batch_size, fm, fm, 2 * c)
 
         # Up path with skip concats
         for i, o in enumerate(dec_out):
             x = jnp.concatenate([x, skips[-1 - i]], axis=-1)
-            x = block(nout=o, kernel=3, stride=1, padding=1)(x, train)
+            x = block(nout=o, kernel=3, stride=1, padding=1,
+                      dtype=self.dtype)(x, train)
             if i < self.num_blocks - 1:
                 x = B.up2_nearest(x)
 
         if self.use_final_conv:
-            x = B.Conv(self.out_chnls, 1)(x)
+            x = B.Conv(self.out_chnls, 1, dtype=self.dtype)(x)
         return x, None

@@ -198,7 +198,17 @@ def train(cfg) -> TrainState:
             if iter_idx > cfg.train_iter:
                 break
             device_batch = shard_batch(mesh, {"input": batch["input"]})
+            # Optional profiler window (SURVEY.md section 5: jax.profiler
+            # trace hooks on top of the reference's wall-clock counters).
+            profile_dir = cfg.get("profile_dir", "")
+            if profile_dir and iter_idx == 10:
+                jax.block_until_ready(metrics)
+                jax.profiler.start_trace(profile_dir)
             state, metrics = train_step(state, device_batch)
+            if profile_dir and iter_idx == 20:
+                jax.block_until_ready(metrics)
+                jax.profiler.stop_trace()
+                fprint(f"Profiler trace written to {profile_dir}")
             iter_idx += 1
 
             heartbeat = iter_idx % cfg.report_loss_every == 0
@@ -247,6 +257,33 @@ def train(cfg) -> TrainState:
                     f"{checkpoint_name}-{iter_idx}", state)
 
             if iter_idx % cfg.run_validation_every == 0:
+                # Weight/grad + distribution histograms
+                # (reference train.py:313-325, 339-345)
+                if cfg.get("log_grads_and_weights", False):
+                    flat = jax.tree_util.tree_flatten_with_path(
+                        state.params)[0]
+                    for path, val in flat:
+                        name = "/".join(str(p.key) for p in path
+                                        if hasattr(p, "key"))
+                        logger.log_histogram(f"weights/{name}",
+                                             np.asarray(val), iter_idx)
+                if cfg.get("log_distributions", False):
+                    vis = {"input": jnp.asarray(batch["input"][:8])}
+                    variables = {"params": state.params}
+                    if jax.tree_util.tree_leaves(state.batch_stats):
+                        variables["batch_stats"] = state.batch_stats
+                    _, _, _, att_s, comp_s = model.apply(
+                        variables, vis["input"], False,
+                        rngs={"sample": jax.random.PRNGKey(iter_idx)})
+                    for tag, st in (("att", att_s), ("comp", comp_s)):
+                        if st is None:
+                            continue
+                        for key in ("mu_k", "sigma_k", "pmu_k",
+                                    "psigma_k"):
+                            if key in st:
+                                logger.log_histogram(
+                                    f"{tag}_{key}", np.asarray(st[key]),
+                                    iter_idx)
                 fprint("Running validation...")
                 val_stats = evaluation(
                     model, eval_step, state, val_loader, logger, cfg,

@@ -67,6 +67,9 @@ def main_flags():
     flags.DEFINE_boolean("debug", False, "Debug flag.")
     flags.DEFINE_boolean("debug_nans", False,
                          "Enable jax_debug_nans NaN detection.")
+    flags.DEFINE_string("profile_dir", "",
+                        "If set, capture a jax.profiler trace of steps "
+                        "10-20 into this directory.")
     flags.DEFINE_integer("seed", 0, "Seed for random number generators.")
 
 
