@@ -161,6 +161,27 @@ def write_records(path: str, records: Sequence[bytes],
             f.write(struct.pack("<I", masked_crc32c(rec)))
 
 
+def count_records(path: str, compression: Optional[str] = None) -> int:
+    """Number of records in a tfrecord file (reference utils/misc.py:
+    31-41 len_tfrecords, without a TF session)."""
+    lib = _native_lib()
+    if lib is not None:
+        handle = lib.gt_open(path.encode(),
+                             1 if compression == "GZIP" else 0, 0)
+        if not handle:
+            raise FileNotFoundError(path)
+        try:
+            total = 0
+            while True:
+                skipped = lib.gt_skip(handle, 1 << 20)
+                total += skipped
+                if skipped < (1 << 20):
+                    return total
+        finally:
+            lib.gt_close(handle)
+    return sum(1 for _ in iter_records(path, compression))
+
+
 def build_index(path: str) -> List[Tuple[int, int]]:
     """(offset, length) per record for an UNCOMPRESSED tfrecord file —
     enables random access for shuffled epoch loaders."""

@@ -33,6 +33,8 @@ flags.DEFINE_string("kernel", "gaussian",
                     "{laplacian, gaussian, epanechnikov}")
 flags.DEFINE_boolean("semiconv", True, "Use semi-convolutional embeddings.")
 flags.DEFINE_boolean("dynamic_K", False, "Dynamic K.")
+flags.DEFINE_boolean("pallas_icsbp", False,
+                     "Run IC-SBP as the fused Pallas kernel.")
 # Auxiliary mask consistency loss
 flags.DEFINE_boolean("klm_loss", False, "KL mask regulariser.")
 flags.DEFINE_boolean("detach_mr_in_klm", True,
@@ -56,6 +58,7 @@ def load(cfg):
         kernel=cfg.get("kernel", "gaussian"),
         semiconv=cfg.get("semiconv", True),
         dynamic_K=cfg.get("dynamic_K", False),
+        pallas_icsbp=cfg.get("pallas_icsbp", False),
         klm_loss=cfg.get("klm_loss", False),
         detach_mr_in_klm=cfg.get("detach_mr_in_klm", True),
         autoreg_prior=cfg.get("autoreg_prior", True),
@@ -73,6 +76,7 @@ class GenesisV2(nn.Module):
     kernel: str = "gaussian"
     semiconv: bool = True
     dynamic_K: bool = False
+    pallas_icsbp: bool = False
     klm_loss: bool = False
     detach_mr_in_klm: bool = True
     autoreg_prior: bool = True
@@ -100,7 +104,8 @@ class GenesisV2(nn.Module):
             colour_dim=8,
             K_steps=self.K_steps,
             feat_dim=F,
-            semiconv=self.semiconv)
+            semiconv=self.semiconv,
+            use_pallas=self.pallas_icsbp)
         self.seg_head = B.ConvGNReLU(nout=F, kernel=3, stride=1,
                                      padding=1, dtype=dt)
         self.feat_head_conv = B.ConvGNReLU(nout=F, kernel=3, stride=1,

@@ -151,7 +151,14 @@ def _kernel_sigma_init(kernel: str, K_steps: int) -> float:
 
 
 class InstanceColouringSBP(nn.Module):
-    """IC-SBP kernel-attention clustering (attention.py:136-226)."""
+    """IC-SBP kernel-attention clustering (attention.py:136-226).
+
+    With `use_pallas` (and a lane-aligned, VMEM-fitting shape) the K-step
+    rollout runs as one fused Pallas kernel (ops/pallas/ic_sbp.py) with a
+    fixed-seed K-parallel VJP; gradients are identical. Measured at
+    parity with the stock XLA path at 64px on v5e (XLA already fuses
+    this chain well), so it is opt-in rather than the default.
+    """
     img_size: int
     kernel: str = "gaussian"
     colour_dim: int = 8
@@ -159,6 +166,7 @@ class InstanceColouringSBP(nn.Module):
     feat_dim: Optional[int] = None
     semiconv: bool = True
     dynamic_K_threshold: float = 20.0
+    use_pallas: bool = False
 
     def setup(self):
         sigma_init = _kernel_sigma_init(self.kernel, self.K_steps)
@@ -204,32 +212,43 @@ class InstanceColouringSBP(nn.Module):
         # (reference attention.py:177-178).
         key = self.make_rng("sample")
         rand_pixel = jax.random.uniform(key, (bsz, ch, cw, 1), colour.dtype)
-        colour_flat = colour.reshape(bsz, ch * cw, self.colour_dim)
 
-        log_s = jnp.zeros((bsz, self.img_size, self.img_size, 1),
-                          colour.dtype)
-        log_m_steps, log_s_k, seeds, mask_mass = [], [log_s], [], []
-        for _ in range(steps_to_run):
-            scope = jnp.exp(log_s)
-            if (ch, cw) != (self.img_size, self.img_size):
-                scope = B.resize_bilinear(scope, (ch, cw))
-            pixel_probs = (rand_pixel * scope).reshape(bsz, ch * cw)
-            rand_max = jnp.argmax(pixel_probs, axis=1)           # [B]
-            seed = jnp.take_along_axis(
-                colour_flat, rand_max[:, None, None], axis=1)[:, 0]  # [B,D]
-            seeds.append(seed)
-            alpha = self._alpha(colour, seed)
-            # Clamp to [0.01, 0.99] for numerical stability, straight-through
-            # gradients (attention.py:211-213).
-            alpha = B.clamp_preserve_gradients(alpha, 0.01, 0.99)
-            log_m = log_s + jnp.log(alpha)
-            mask_mass.append(jnp.sum(jnp.exp(log_m), axis=(1, 2, 3)))
-            log_m_steps.append(log_m)
-            log_s = log_s + jnp.log1p(-alpha)
-            log_s_k.append(log_s)
+        same_res = (ch, cw) == (self.img_size, self.img_size)
+        from genesis_tpu.ops.pallas import ic_sbp as icp
+        if self.use_pallas and same_res and icp.supported(
+                self.img_size, steps_to_run, self.colour_dim):
+            log_m_full_, log_s_, seeds_ = icp.ic_sbp_rollout(
+                colour.astype(jnp.float32), rand_pixel[..., 0],
+                self.log_sigma, steps_to_run, self.kernel)
+            log_m = log_m_full_[:-1][..., None]   # [S, B, H, W, 1]
+            log_s_all = log_s_[..., None]         # [S+1, B, H, W, 1]
+            seeds = list(seeds_)
+        else:
+            colour_flat = colour.reshape(bsz, ch * cw, self.colour_dim)
+            log_s = jnp.zeros((bsz, self.img_size, self.img_size, 1),
+                              colour.dtype)
+            log_m_steps, log_s_k, seeds = [], [log_s], []
+            for _ in range(steps_to_run):
+                scope = jnp.exp(log_s)
+                if not same_res:
+                    scope = B.resize_bilinear(scope, (ch, cw))
+                pixel_probs = (rand_pixel * scope).reshape(bsz, ch * cw)
+                rand_max = jnp.argmax(pixel_probs, axis=1)       # [B]
+                seed = jnp.take_along_axis(
+                    colour_flat, rand_max[:, None, None],
+                    axis=1)[:, 0]                                # [B,D]
+                seeds.append(seed)
+                alpha = self._alpha(colour, seed)
+                # Clamp to [0.01, 0.99] for numerical stability,
+                # straight-through grads (attention.py:211-213).
+                alpha = B.clamp_preserve_gradients(alpha, 0.01, 0.99)
+                log_m_steps.append(log_s + jnp.log(alpha))
+                log_s = log_s + jnp.log1p(-alpha)
+                log_s_k.append(log_s)
 
-        log_m = jnp.stack(log_m_steps)          # [S, B, H, W, 1]
-        log_s_all = jnp.stack(log_s_k)          # [S+1, B, H, W, 1]
+            log_m = jnp.stack(log_m_steps)      # [S, B, H, W, 1]
+            log_s_all = jnp.stack(log_s_k)      # [S+1, B, H, W, 1]
+        mask_mass = jnp.sum(jnp.exp(log_m), axis=(2, 3, 4))  # [S, B]
 
         if dynamic_K:
             # break_at[b] = first step whose mask mass < threshold (S if
@@ -237,8 +256,7 @@ class InstanceColouringSBP(nn.Module):
             # break_at, and -1e10 after — static-shape equivalent of the
             # reference's per-element break + padding
             # (genesisv2_config.py:118-137).
-            mass = jnp.stack(mask_mass)                         # [S, B]
-            below = mass < self.dynamic_K_threshold
+            below = mask_mass < self.dynamic_K_threshold        # [S, B]
             break_at = jnp.where(
                 jnp.any(below, axis=0),
                 jnp.argmax(below, axis=0),
