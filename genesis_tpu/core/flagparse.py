@@ -107,3 +107,11 @@ def parse(argv: Optional[Sequence[str]] = None,
 def config(argv: Optional[Sequence[str]] = None) -> AttrDict:
     """forge.config() equivalent."""
     return parse(argv)
+
+
+def print_flags(cfg: Optional[AttrDict] = None) -> None:
+    """Pretty-print the active flag values (forge print_flags)."""
+    import json as _json
+    from genesis_tpu.core.experiment import fprint
+    values = dict(cfg) if cfg is not None else _flags.defaults()
+    fprint(_json.dumps(values, indent=4, sort_keys=True, default=str))

@@ -28,8 +28,7 @@ def _fetch_apc(files):
     from PIL import Image
     imgs, masks = [], []
     for fp in files:
-        img = np.asarray(Image.open(fp).convert("RGB"),
-                         np.float32) / 255.0
+        img = np.asarray(Image.open(fp).convert("RGB"), np.uint8)
         imgs.append(img)
         mfp = fp.replace("frame", "masks/frame").replace("color", "mask")
         try:

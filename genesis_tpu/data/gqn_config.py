@@ -160,7 +160,7 @@ class GQNLoader:
         for fr in self._shuffled():
             batch.append(fr)
             if len(batch) == self.batch_size:
-                img = np.stack(batch).astype(np.float32) / 255.0
+                img = np.stack(batch)  # uint8; normalised on device
                 if self.img_size != img.shape[1]:
                     img = _resize_nearest(img, self.img_size)
                 yield {"input": img}

@@ -14,6 +14,15 @@ from typing import Callable, Dict, Iterator, Optional
 import numpy as np
 
 
+def prepare_input(x):
+    """Normalise a batch 'input' to float32 [0,1] on whatever device it
+    lives on. Loaders are encouraged to ship uint8 (4x less host->device
+    traffic); models always see f32."""
+    if hasattr(x, "dtype") and str(x.dtype) == "uint8":
+        return x.astype("float32") / 255.0
+    return x
+
+
 class ArrayDataset:
     """Dataset over parallel numpy arrays (optionally memory-mapped)."""
 

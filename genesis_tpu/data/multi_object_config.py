@@ -97,8 +97,7 @@ class MultiObjectLoader:
         yield from buf
 
     def _to_batch(self, examples):
-        img = np.stack([e["image"] for e in examples]).astype(np.float32)
-        img = img / 255.0
+        img = np.stack([e["image"] for e in examples])  # uint8
         h, w = img.shape[1], img.shape[2]
         if h != w:  # CLEVR 240x320 -> centre crop 192
             img = np_img_centre_crop(img, CLEVR_CROP, batch=True)
@@ -117,8 +116,7 @@ class MultiObjectLoader:
             labels = np_img_centre_crop(labels, CLEVR_CROP, batch=True)
         if self.img_size != labels.shape[1]:
             labels = _resize_nearest(labels, self.img_size)
-        return {"input": img.astype(np.float32),
-                "instances": labels.astype(np.int32)}
+        return {"input": img, "instances": labels.astype(np.int32)}
 
     def __iter__(self):
         batch = []

@@ -105,7 +105,7 @@ class ShapeStacksDataset(MapDataset):
         if self.img_size != CENTRE_CROP:
             img = img.resize((self.img_size, self.img_size),
                              Image.BILINEAR)
-        out = {"input": np.asarray(img, np.float32) / 255.0}
+        out = {"input": np.asarray(img, np.uint8)}
         if self.load_instances:
             parts = file.split(os.sep)
             cam = parts[-1].split("-")[5][4:]

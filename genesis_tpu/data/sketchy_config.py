@@ -24,7 +24,7 @@ flags.DEFINE_integer("K_steps", 10, "Number of object slots.")
 
 def _fetch_pngs(files):
     from PIL import Image
-    imgs = [np.asarray(Image.open(f).convert("RGB"), np.float32) / 255.0
+    imgs = [np.asarray(Image.open(f).convert("RGB"), np.uint8)
             for f in files]
     return {"input": np.stack(imgs)}
 

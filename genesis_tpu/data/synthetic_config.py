@@ -5,6 +5,8 @@ trainer CLI is interchangeable; intended for smoke runs, tests and
 benchmarking.
 """
 
+import numpy as np
+
 from genesis_tpu.core import flags
 from genesis_tpu.data.loader import ArrayDataset, DataLoader
 from genesis_tpu.data import synthetic
@@ -30,6 +32,8 @@ def load(cfg, **unused_kwargs):
                                    cfg.get("synth_eval_size", 256)]):
         arrays = synthetic.generate_dataset(
             n, img, k, seed=100 + split_idx, with_instances=with_ins)
+        # Ship uint8 over host->device (prepare_input restores f32).
+        arrays["input"] = np.round(arrays["input"] * 255).astype(np.uint8)
         ds = ArrayDataset(arrays)
         splits.append(DataLoader(ds, cfg.batch_size, shuffle=True,
                                  seed=cfg.get("seed", 0) + split_idx))

@@ -161,9 +161,30 @@ def fid_from_model(model, state, test_loader, batch_size: int = 10,
     extractor = make_extractor(extractor_kind)
     fprint(f"FID: extractor={extractor.name}, images={num_images}")
 
+    dump_state = {"test": 0, "gen": 0}
+
+    def dump(images, sub):
+        if img_dir is None:
+            return
+        import os
+        from PIL import Image
+        d = os.path.join(img_dir,
+                         "test_images" if sub == "test"
+                         else "generated_images")
+        os.makedirs(d, exist_ok=True)
+        for img in images:
+            if dump_state[sub] >= num_images:
+                return
+            Image.fromarray(np.uint8(255 * np.clip(img, 0, 1))).save(
+                os.path.join(d, str(dump_state[sub]).zfill(6) + ".png"))
+            dump_state[sub] += 1
+
     def test_batches():
+        from genesis_tpu.data.loader import prepare_input
         for batch in test_loader:
-            yield np.asarray(batch["input"])
+            arr = np.asarray(prepare_input(batch["input"]))
+            dump(arr, "test")
+            yield arr
 
     mu_real, sig_real = compute_statistics(
         test_batches(), extractor, max_images=num_images)
@@ -181,7 +202,9 @@ def fid_from_model(model, state, test_loader, batch_size: int = 10,
         key = jax.random.PRNGKey(seed + 99)
         for _ in range(math.ceil(num_images / batch_size)):
             key, sub = jax.random.split(key)
-            yield np.asarray(sample(variables, sub))
+            arr = np.asarray(sample(variables, sub))
+            dump(arr, "gen")
+            yield arr
 
     mu_gen, sig_gen = compute_statistics(
         gen_batches(), extractor, max_images=num_images)

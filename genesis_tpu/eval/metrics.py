@@ -117,8 +117,12 @@ def dataset_ari(model, state, data_loader, num_images: int = 300,
     import numpy as np
     from genesis_tpu.core.experiment import fprint
 
+    from genesis_tpu.data.loader import prepare_input
+
     @jax.jit
     def step(state, batch, key):
+        batch = dict(batch)
+        batch["input"] = prepare_input(batch["input"])
         variables = {"params": state.params}
         if jax.tree_util.tree_leaves(state.batch_stats):
             variables["batch_stats"] = state.batch_stats

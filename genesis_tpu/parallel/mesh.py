@@ -67,3 +67,17 @@ def shard_batch(mesh: Mesh, batch):
     def put(x):
         return jax.device_put(x, data_sharding(mesh, ndim=x.ndim))
     return jax.tree_util.tree_map(put, batch)
+
+
+def device_prefetch(iterator, mesh: Mesh, size: int = 2):
+    """Overlap host->device transfer with compute: keep `size` sharded
+    batches in flight ahead of the consumer (flax prefetch_to_device
+    pattern, generalised to mesh shardings)."""
+    import collections
+    queue = collections.deque()
+    for batch in iterator:
+        queue.append(shard_batch(mesh, batch))
+        if len(queue) >= size:
+            yield queue.popleft()
+    while queue:
+        yield queue.popleft()

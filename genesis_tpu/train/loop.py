@@ -85,7 +85,8 @@ def visualise_outputs(model, state, vis_batch, logger, mode, iter_idx,
                       sample_key):
     """Image grids: input/recon/instances/per-slot decomposition/samples
     (reference train.py:423-476)."""
-    vis_input = jnp.asarray(vis_batch["input"][:8])
+    from genesis_tpu.data.loader import prepare_input
+    vis_input = prepare_input(jnp.asarray(vis_batch["input"][:8]))
     variables = {"params": state.params}
     if jax.tree_util.tree_leaves(state.batch_stats):
         variables["batch_stats"] = state.batch_stats
@@ -158,6 +159,10 @@ def train(cfg) -> TrainState:
     checkpoint_name = osp.join(run_dir, "model.ckpt")
     logger = MetricsLogger(run_dir)
 
+    # Print active flags (reference train.py:139-142)
+    from genesis_tpu.core.flagparse import print_flags
+    print_flags(cfg)
+
     # Data & model via the config-file contract
     train_loader, val_loader, test_loader = fet.load(cfg.data_config, cfg)
     model = fet.load(cfg.model_config, cfg)
@@ -193,11 +198,13 @@ def train(cfg) -> TrainState:
     timer = time.time()
     metrics = None
     vis_batch = example_batch
+    from genesis_tpu.parallel.mesh import device_prefetch
     while iter_idx <= cfg.train_iter:
-        for batch in train_loader:
+        device_batches = device_prefetch(
+            ({"input": b["input"]} for b in train_loader), mesh)
+        for batch_idx, device_batch in enumerate(device_batches):
             if iter_idx > cfg.train_iter:
                 break
-            device_batch = shard_batch(mesh, {"input": batch["input"]})
             # Optional profiler window (SURVEY.md section 5: jax.profiler
             # trace hooks on top of the reference's wall-clock counters).
             profile_dir = cfg.get("profile_dir", "")
@@ -268,7 +275,7 @@ def train(cfg) -> TrainState:
                         logger.log_histogram(f"weights/{name}",
                                              np.asarray(val), iter_idx)
                 if cfg.get("log_distributions", False):
-                    vis = {"input": jnp.asarray(batch["input"][:8])}
+                    vis = {"input": jnp.asarray(vis_batch["input"][:8])}
                     variables = {"params": state.params}
                     if jax.tree_util.tree_leaves(state.batch_stats):
                         variables["batch_stats"] = state.batch_stats
@@ -291,8 +298,8 @@ def train(cfg) -> TrainState:
                 fprint(f"VALIDATION STATS: {val_stats}")
 
             if iter_idx % cfg.log_images_every == 0:
-                visualise_outputs(model, state, batch, logger, "train",
-                                  iter_idx,
+                visualise_outputs(model, state, vis_batch, logger,
+                                  "train", iter_idx,
                                   jax.random.PRNGKey(iter_idx))
                 fprint("Logged images to TensorBoard")
 

@@ -52,9 +52,11 @@ def create_train_state(model, cfg, example_batch, rng,
     init_rng, sample_rng, state_rng = jax.random.split(rng, 3)
     # Jit the init: one compile, persisted in the XLA compilation cache
     # across processes (eager init costs minutes on slow hosts).
+    from genesis_tpu.data.loader import prepare_input
     init_fn = jax.jit(lambda rngs, x: model.init(rngs, x, True))
     variables = init_fn({"params": init_rng, "sample": sample_rng},
-                        example_batch["input"])
+                        prepare_input(jnp.asarray(
+                            example_batch["input"])))
     params = variables["params"]
     batch_stats = variables.get("batch_stats", {})
     tx = make_optimiser(cfg.optimiser, cfg.learning_rate)

@@ -18,6 +18,7 @@ import jax
 import jax.numpy as jnp
 import optax
 
+from genesis_tpu.data.loader import prepare_input
 from genesis_tpu.ops import geco as geco_lib
 from genesis_tpu.parallel import mesh as mesh_lib
 from genesis_tpu.train.state import TrainState, make_optimiser
@@ -48,6 +49,8 @@ def make_train_step(model, cfg) -> Callable[[TrainState, Dict], Tuple]:
     train_iter = int(cfg.get("train_iter", 500000))
 
     def train_step(state: TrainState, batch) -> Tuple[TrainState, Dict]:
+        batch = dict(batch)
+        batch["input"] = prepare_input(batch["input"])
         rng, step_key = jax.random.split(state.rng)
         has_bn = bool(jax.tree_util.tree_leaves(state.batch_stats))
 
@@ -131,6 +134,8 @@ def make_eval_step(model, cfg,
     from genesis_tpu.eval import metrics as M
 
     def eval_step(state: TrainState, batch, key) -> Dict:
+        batch = dict(batch)
+        batch["input"] = prepare_input(batch["input"])
         variables = {"params": state.params}
         if jax.tree_util.tree_leaves(state.batch_stats):
             variables["batch_stats"] = state.batch_stats

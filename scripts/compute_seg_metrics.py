@@ -58,8 +58,12 @@ def main():
         cfg.model_dir, cfg.model_file, cfg)
     loader = dict(zip(("train", "val", "test"), loaders))[cfg.split]
 
+    from genesis_tpu.data.loader import prepare_input
+
     @jax.jit
     def seg_step(state, batch, key):
+        batch = dict(batch)
+        batch["input"] = prepare_input(batch["input"])
         variables = {"params": state.params}
         if jax.tree_util.tree_leaves(state.batch_stats):
             variables["batch_stats"] = state.batch_stats

@@ -42,7 +42,8 @@ def main():
     for b_idx, batch in enumerate(train_loader):
         if b_idx >= cfg.num_batches:
             break
-        imgs = np.asarray(batch["input"])
+        from genesis_tpu.data.loader import prepare_input
+        imgs = np.asarray(prepare_input(batch["input"]))
         has_ins = "instances" in batch
         rows = 2 if has_ins else 1
         fig, axes = plt.subplots(rows, len(imgs),

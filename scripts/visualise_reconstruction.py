@@ -46,8 +46,9 @@ def main():
 
     model, state, pretrained, loaders = load_pretrained(
         cfg.model_dir, cfg.model_file, cfg)
+    from genesis_tpu.data.loader import prepare_input
     batch = next(iter(loaders[2]))
-    x = jnp.asarray(batch["input"][:cfg.batch_size])
+    x = prepare_input(jnp.asarray(batch["input"][:cfg.batch_size]))
     variables = {"params": state.params}
     if jax.tree_util.tree_leaves(state.batch_stats):
         variables["batch_stats"] = state.batch_stats

@@ -72,8 +72,7 @@ def test_gqn_loader(tmp_path):
     assert len(batches) == 6
     b = batches[0]
     assert b["input"].shape == (4, 64, 64, 3)
-    assert b["input"].dtype == np.float32
-    assert 0.0 <= b["input"].min() and b["input"].max() <= 1.0
+    assert b["input"].dtype == np.uint8  # normalised on device
     # devel split slices the train file list
     files_train = gqn.get_dataset_files(
         gqn.DATASETS["rooms_ring_camera"], "devel_train", 60, root)
@@ -124,6 +123,7 @@ def test_shapestacks_loader(tmp_path):
     tng, val, tst = ss.load(cfg)
     batch = next(iter(tng))
     assert batch["input"].shape == (2, 64, 64, 3)
+    assert batch["input"].dtype == np.uint8
     assert batch["instances"].shape == (2, 64, 64, 1)
     labels = np.unique(batch["instances"])
     assert labels.min() >= 0 and labels.max() <= 4

@@ -96,8 +96,8 @@ def test_multi_object_loader_batches(tmp_path):
     assert len(batches) == 3
     b = batches[0]
     assert b["input"].shape == (4, 64, 64, 3)
-    assert b["input"].dtype == np.float32
-    assert b["input"].max() <= 1.0
+    # Loaders ship uint8; prepare_input normalises on device
+    assert b["input"].dtype == np.uint8
     assert b["instances"].shape == (4, 64, 64, 1)
     # Background entities 0..3 fold to label 0; foreground 4..6 -> 5..7
     labels = np.unique(b["instances"])
