@@ -73,7 +73,8 @@ def main():
 
     im_s = batch_size * steps / dt
     print(json.dumps({
-        "metric": "genesisv2_train_throughput_64px_K9_b32",
+        "metric": f"genesisv2_train_throughput_{img_size}px_"
+                  f"K{k_steps}_b{batch_size}",
         "value": round(im_s, 2),
         "unit": "im/s",
         "vs_baseline": round(im_s / REFERENCE_IM_S, 3),

@@ -10,7 +10,7 @@ bare `--flag` / `--noflag`.
 """
 
 import sys
-from typing import Any, Dict, List, Optional, Sequence, Tuple
+from typing import Any, Dict, List, Optional, Sequence
 
 from genesis_tpu.core import flags as _flags
 from genesis_tpu.core.attrdict import AttrDict

@@ -19,7 +19,6 @@ from typing import Iterator, List
 import numpy as np
 
 from genesis_tpu.core import flags
-from genesis_tpu.core.experiment import fprint
 from genesis_tpu.data import tfrecord as tfr
 from genesis_tpu.utils.misc import loader_throughput
 

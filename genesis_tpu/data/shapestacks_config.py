@@ -16,7 +16,7 @@ import numpy as np
 from genesis_tpu.core import flags
 from genesis_tpu.core.experiment import fprint
 from genesis_tpu.data.loader import DataLoader, MapDataset
-from genesis_tpu.utils.misc import loader_throughput, np_img_centre_crop
+from genesis_tpu.utils.misc import loader_throughput
 
 flags.DEFINE_string("data_folder", "data/shapestacks",
                     "Path to data folder.")

@@ -9,7 +9,7 @@ sprites, colours from a 5^3 grid, occlusion by paint order, instance
 labels with background = 0).
 """
 
-from typing import Optional, Tuple
+from typing import Tuple
 
 import numpy as np
 

@@ -16,7 +16,7 @@ Extractors:
 """
 
 import math
-from typing import Callable, Iterable, Optional, Tuple
+from typing import Iterable, Optional, Tuple
 
 import jax
 import jax.numpy as jnp

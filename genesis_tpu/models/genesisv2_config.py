@@ -12,7 +12,6 @@ works batched (see ops/attention.py) instead of per-element.
 """
 
 import math
-from typing import Optional
 
 import jax
 import jax.numpy as jnp

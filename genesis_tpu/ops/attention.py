@@ -18,7 +18,7 @@ Slot-stacked returns are [K, B, H, W, 1] (slot-major).
 """
 
 import math
-from typing import Optional, Tuple
+from typing import Optional
 
 import jax
 import jax.numpy as jnp

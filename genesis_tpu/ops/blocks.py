@@ -18,7 +18,7 @@ with (uniform with variance 1/(3*fan_in)); biases are zero-initialised.
 """
 
 import math
-from typing import Any, Callable, Optional, Tuple
+from typing import Any, Optional, Tuple
 
 import jax
 import jax.numpy as jnp

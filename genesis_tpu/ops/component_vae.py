@@ -6,8 +6,6 @@ batching trick the reference uses via torch.cat along batch, but kept fully
 inside one jit so XLA fuses mask-concat + encode + reparam + decode.
 """
 
-from typing import Optional
-
 import jax
 import jax.numpy as jnp
 from flax import linen as nn

@@ -6,8 +6,6 @@ are stride-1 NHWC — XLA fuses the activation chain; the grid padding keeps
 shapes static.
 """
 
-from typing import Callable
-
 import jax
 from flax import linen as nn
 

@@ -15,7 +15,7 @@ All slot-stacked tensors are slot-major [K, B, ...].
 """
 
 import math
-from typing import Optional, Tuple
+from typing import Optional
 
 import jax
 import jax.numpy as jnp

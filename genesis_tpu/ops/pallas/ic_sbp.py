@@ -22,7 +22,6 @@ parallel, unlike the forward's inherently serial selection.
 """
 
 import functools
-from typing import Tuple
 
 import jax
 import jax.numpy as jnp

@@ -6,7 +6,7 @@ a 3-layer 128-wide MLP bottleneck. `final_conv` is a 1x1 conv, optionally
 disabled (GENESIS-V2 replaces it with Identity, genesisv2_config.py:70).
 """
 
-from typing import Any, Optional, Sequence
+from typing import Any
 
 import jax.numpy as jnp
 from flax import linen as nn

@@ -13,8 +13,6 @@ process 0 only (state is fully replicated).
 """
 
 import os
-import os.path as osp
-from typing import Optional
 
 import jax
 import numpy as np

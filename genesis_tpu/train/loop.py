@@ -18,10 +18,10 @@ import jax.numpy as jnp
 import numpy as np
 
 from genesis_tpu.core import experiment as fet
-from genesis_tpu.core.attrdict import AttrDefault, AttrDict
+from genesis_tpu.core.attrdict import AttrDefault
 from genesis_tpu.core.experiment import fprint
 from genesis_tpu.eval import metrics as M
-from genesis_tpu.parallel import make_mesh, shard_batch, replicated
+from genesis_tpu.parallel import make_mesh
 from genesis_tpu.train import checkpoint as ckpt_lib
 from genesis_tpu.train import step as step_lib
 from genesis_tpu.train.state import TrainState, create_train_state

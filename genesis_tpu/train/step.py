@@ -11,8 +11,7 @@ with the batch sharded on `data` and state replicated; XLA inserts the
 gradient all-reduce over ICI.
 """
 
-import functools
-from typing import Any, Callable, Dict, Optional, Tuple
+from typing import Any, Callable, Dict, Tuple
 
 import jax
 import jax.numpy as jnp

@@ -7,7 +7,7 @@ TensorBoard if a writer backend is importable.
 
 import json
 import os.path as osp
-from typing import Dict, Optional
+from typing import Dict
 
 import numpy as np
 

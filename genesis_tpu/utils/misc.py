@@ -5,8 +5,6 @@ numerics used across models. The heavy metrics (ARI/MSC) live in
 eval/metrics.py as vectorised jnp.
 """
 
-import json
-import os.path as osp
 import time
 from typing import List, Optional
 
