@@ -99,25 +99,48 @@ class DataLoader:
         q: "queue.Queue" = queue.Queue(maxsize=self.prefetch)
         sentinel = object()
         error_box = []
+        stop = threading.Event()
 
         def producer():
             try:
                 for idx in self._index_batches():
-                    q.put(self.dataset.get_batch(idx))
+                    batch = self.dataset.get_batch(idx)
+                    # Bounded put that aborts when the consumer stopped
+                    # early (e.g. eval breaking at num_batches) — without
+                    # this the thread blocks on the full queue forever.
+                    while not stop.is_set():
+                        try:
+                            q.put(batch, timeout=0.1)
+                            break
+                        except queue.Full:
+                            continue
+                    if stop.is_set():
+                        return
             except BaseException as e:  # surface worker errors
                 error_box.append(e)
             finally:
-                q.put(sentinel)
+                # The sentinel must be delivered reliably or the consumer
+                # blocks on q.get forever; bail out only if the consumer
+                # itself has stopped.
+                while not stop.is_set():
+                    try:
+                        q.put(sentinel, timeout=0.1)
+                        break
+                    except queue.Full:
+                        continue
 
         thread = threading.Thread(target=producer, daemon=True)
         thread.start()
-        while True:
-            item = q.get()
-            if item is sentinel:
-                if error_box:
-                    raise error_box[0]
-                return
-            yield item
+        try:
+            while True:
+                item = q.get()
+                if item is sentinel:
+                    if error_box:
+                        raise error_box[0]
+                    return
+                yield item
+        finally:
+            stop.set()
 
 
 def infinite(loader) -> Iterator:

@@ -46,9 +46,12 @@ class MultiDSpritesDataset(ArrayDataset):
         super().__init__(arrays, transform=self._to_batch)
 
     def _to_batch(self, raw):
-        img = raw["images"].astype(np.float32)
-        if img.max() > 1.5:  # uint8 storage
-            img = img / 255.0
+        img = raw["images"]
+        # Decide scaling by STORAGE dtype, not values: uint8 ships as-is
+        # (normalised on device by prepare_input); float storage (the
+        # generator saves [0,1] floats) passes through.
+        if img.dtype != np.uint8:
+            img = img.astype(np.float32)
         if img.shape[1] == 3 and img.shape[-1] != 3:  # NCHW -> NHWC
             img = np.moveaxis(img, 1, -1)
         if self.img_size != img.shape[1]:

@@ -97,11 +97,11 @@ def _iter_records_native(lib, path: str, compression: Optional[str],
             n = lib.gt_next(handle, buf, capacity)
             if n == -1:
                 return
-            if n <= -2:  # buffer too small; required size encoded
-                capacity = int(-(n + 2)) * 2
+            if n <= -16:  # buffer too small; required = -(n + 16)
+                capacity = int(-(n + 16)) * 2
                 buf = ctypes.create_string_buffer(capacity)
                 n = lib.gt_next(handle, buf, capacity)
-            if n == -3 or n < 0:
+            if n < 0:
                 raise IOError(f"Corrupt tfrecord stream: {path}")
             yield buf.raw[:n]
     finally:

@@ -40,6 +40,10 @@ def adjusted_rand_index(pred, gt, num_pred: int,
     p = pred.reshape(bsz, -1)
     g = gt.reshape(bsz, -1)
     valid = (g > 0) if fg_only else (g >= 0)
+    # Labels beyond the static bound are treated as ignore rather than
+    # silently skewing the contingency table (raise num_gt for datasets
+    # with large label ids).
+    valid = valid & (g < num_gt)
     vf = valid.astype(jnp.float32)
     oh_p = jax.nn.one_hot(p, num_pred, dtype=jnp.float32) * vf[..., None]
     oh_g = jax.nn.one_hot(g, num_gt, dtype=jnp.float32) * vf[..., None]
@@ -76,7 +80,8 @@ def segmentation_covering(gt, pred, num_pred: int,
     bsz = gt.shape[0]
     g = gt.reshape(bsz, -1)
     p = pred.reshape(bsz, -1)
-    nonignore = (g >= 0).astype(jnp.float32)
+    # Out-of-bound labels are ignore regions (see adjusted_rand_index).
+    nonignore = ((g >= 0) & (g < num_gt)).astype(jnp.float32)
     oh_g = jax.nn.one_hot(g, num_gt, dtype=jnp.float32) * \
         nonignore[..., None]
     # Pixels in ignore regions are not penalised for the prediction

@@ -266,18 +266,20 @@ class Genesis(nn.Module):
         return recon, losses, stats, att_stats, comp_stats
 
     def sample(self, batch_size: int, K_steps=None):
-        K_steps = self.K_steps if K_steps is None else K_steps
+        K = self.K_steps if K_steps is None else K_steps
         key = self.make_rng("sample")
         k_mask, k_comp = jax.random.split(key)
 
         # --- Mask latents (genesis_config.py:349-367) ---
         if self.autoreg_prior:
-            zm_k = self.prior.rollout(k_mask, batch_size, self.K_steps)
+            zm_k = self.prior.rollout(k_mask, batch_size, K)
         else:
             zm_k = jax.random.normal(
-                k_mask, (self.K_steps, batch_size, self.ldim))
+                k_mask, (K, batch_size, self.ldim))
         log_m_raw, log_s_k, _ = self.att_process.masks_from_zm_k(zm_k)
-        log_m_k = self._corrected_masks(log_m_raw, log_s_k)
+        # Mask correction at the sampled K (genesis_config.py:371-375)
+        log_m_k = jnp.concatenate(
+            [log_m_raw[:K - 1], log_s_k[K - 1:K]], axis=0)
 
         # --- Component appearances ---
         if self.two_stage:
@@ -289,16 +291,14 @@ class Genesis(nn.Module):
                 zc_k = mu + sigma * jax.random.normal(k_comp, mu.shape)
             else:
                 zc_k = jax.random.normal(
-                    k_comp, (self.K_steps, batch_size, self.comp_ldim))
+                    k_comp, (K, batch_size, self.comp_ldim))
             x_flat = self._comp_decode(
-                zc_k.reshape(self.K_steps * batch_size, -1), train=False)
-            x_k = x_flat.reshape(
-                (self.K_steps, batch_size) + x_flat.shape[1:])
+                zc_k.reshape(K * batch_size, -1), train=False)
+            x_k = x_flat.reshape((K, batch_size) + x_flat.shape[1:])
         else:
             x_flat = self.decoder(
-                zm_k.reshape(self.K_steps * batch_size, -1), train=False)
-            x_k = x_flat.reshape(
-                (self.K_steps, batch_size) + x_flat.shape[1:])
+                zm_k.reshape(K * batch_size, -1), train=False)
+            x_k = x_flat.reshape((K, batch_size) + x_flat.shape[1:])
             if self.pixel_bound:
                 x_k = jax.nn.sigmoid(x_k)
 

@@ -115,8 +115,10 @@ void gt_close(void* handle) {
   delete s;
 }
 
-// Returns: >=0 record length written to buf; -1 EOF; -2 buffer too small
-// (record skipped is NOT consumed: call gt_peek_len first); -3 corrupt.
+// Returns: >=0 record length written to buf; -1 EOF; -3 corrupt;
+// <= -16: buffer too small, required size = -(ret + 16) (the +16 offset
+// keeps small-length codes clear of the fixed sentinels). The pending
+// record is retained for retry with a larger buffer.
 int64_t gt_next(void* handle, uint8_t* buf, int64_t capacity) {
   Stream* s = (Stream*)handle;
   uint64_t length;
@@ -136,7 +138,7 @@ int64_t gt_next(void* handle, uint8_t* buf, int64_t capacity) {
   }
   if ((int64_t)length > capacity) {
     s->pending = (int64_t)length;
-    return -2 - (int64_t)length;  // required size encoded
+    return -16 - (int64_t)length;  // required size encoded
   }
   s->pending = -1;
   if (stream_read(s, buf, (int64_t)length) < (int64_t)length) return -3;

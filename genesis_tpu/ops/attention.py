@@ -224,14 +224,19 @@ class InstanceColouringSBP(nn.Module):
             log_s_all = log_s_[..., None]         # [S+1, B, H, W, 1]
             seeds = list(seeds_)
         else:
+            # The SBP update adds log(alpha) (at the colour-field
+            # resolution) onto the scope, so the two must match. The
+            # reference has the same implicit constraint (attention.py:
+            # 185-217 only ever runs with colour at img_size).
+            assert same_res, (
+                f"IC-SBP requires the colour field resolution "
+                f"{(ch, cw)} to equal img_size {self.img_size}")
             colour_flat = colour.reshape(bsz, ch * cw, self.colour_dim)
             log_s = jnp.zeros((bsz, self.img_size, self.img_size, 1),
                               colour.dtype)
             log_m_steps, log_s_k, seeds = [], [log_s], []
             for _ in range(steps_to_run):
                 scope = jnp.exp(log_s)
-                if not same_res:
-                    scope = B.resize_bilinear(scope, (ch, cw))
                 pixel_probs = (rand_pixel * scope).reshape(bsz, ch * cw)
                 rand_max = jnp.argmax(pixel_probs, axis=1)       # [B]
                 seed = jnp.take_along_axis(

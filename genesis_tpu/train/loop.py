@@ -169,7 +169,7 @@ def train(cfg) -> TrainState:
     num_elements = 3 * cfg.img_size ** 2  # three input channels assumed
 
     # Mesh + state
-    mesh = make_mesh()
+    mesh = make_mesh(model_parallel=cfg.get("model_parallel", 1))
     fprint(f"Mesh: {mesh.shape} over {len(jax.devices())} devices")
     example_batch = next(iter(train_loader))
     rng = jax.random.PRNGKey(cfg.get("seed", 0))
@@ -275,7 +275,9 @@ def train(cfg) -> TrainState:
                         logger.log_histogram(f"weights/{name}",
                                              np.asarray(val), iter_idx)
                 if cfg.get("log_distributions", False):
-                    vis = {"input": jnp.asarray(vis_batch["input"][:8])}
+                    from genesis_tpu.data.loader import prepare_input
+                    vis = {"input": prepare_input(
+                        jnp.asarray(vis_batch["input"][:8]))}
                     variables = {"params": state.params}
                     if jax.tree_util.tree_leaves(state.batch_stats):
                         variables["batch_stats"] = state.batch_stats

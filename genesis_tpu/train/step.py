@@ -83,7 +83,8 @@ def make_train_step(model, cfg) -> Callable[[TrainState, Dict], Tuple]:
             else:
                 loss = err + beta * (kl_l + kl_m)
                 new_geco = state.geco
-            mse = jnp.mean((batch["input"] - recon) ** 2)
+            mse_b = jnp.mean((batch["input"] - recon) ** 2,
+                             axis=(1, 2, 3))
             aux = {
                 "new_stats": new_stats,
                 "new_geco": new_geco,
@@ -91,7 +92,10 @@ def make_train_step(model, cfg) -> Callable[[TrainState, Dict], Tuple]:
                 "metrics": {
                     "err": err, "kl_m": kl_m, "kl_l": kl_l,
                     "elbo": err + kl_m + kl_l,
-                    "mse": mse, "rmse": jnp.sqrt(mse),
+                    # Batch-mean of per-image (R)MSE, reference
+                    # train.py:243-246
+                    "mse": jnp.mean(mse_b),
+                    "rmse": jnp.mean(jnp.sqrt(mse_b)),
                     "beta": beta,
                 },
             }

@@ -163,6 +163,39 @@ def test_dataloader_shapes_and_shuffle():
         next(it)
 
 
+def test_dataloader_prefetch_completes_and_early_break():
+    """Regression: the prefetch producer must deliver the end-of-epoch
+    sentinel even when the queue is full (deadlock otherwise), and must
+    terminate when the consumer breaks early (thread leak otherwise)."""
+    import threading
+
+    data = synthetic.generate_dataset(40, 8, seed=0)
+    ds = ArrayDataset(data)
+    loader = DataLoader(ds, batch_size=4, shuffle=False, prefetch=2)
+
+    result = []
+
+    def consume_all():
+        result.extend(b["input"].shape[0] for b in loader)
+
+    t = threading.Thread(target=consume_all, daemon=True)
+    t.start()
+    t.join(timeout=30)
+    assert not t.is_alive(), "full-epoch iteration deadlocked"
+    assert sum(result) == 40
+
+    # Early break: producer thread must wind down
+    before = threading.active_count()
+    for i, b in enumerate(loader):
+        if i == 1:
+            break
+    import time
+    deadline = time.time() + 5
+    while threading.active_count() > before and time.time() < deadline:
+        time.sleep(0.05)
+    assert threading.active_count() <= before
+
+
 def test_eval_step_with_seg_metrics(v2_setup):
     cfg, model, batch, state = v2_setup
     eval_step = jax.jit(step_lib.make_eval_step(model, cfg))
