@@ -26,7 +26,6 @@ def main():
     from genesis_tpu.core.jax_setup import setup_jax
     setup_jax()
     import jax
-    import jax.numpy as jnp
 
     from genesis_tpu.core.attrdict import AttrDict
     from genesis_tpu.models import genesisv2_config
@@ -72,12 +71,16 @@ def main():
     dt = time.perf_counter() - t0
 
     im_s = batch_size * steps / dt
+    # The reference estimate is for the canonical 64px/K9/b32 config;
+    # comparing other configs against it would overstate the speedup.
+    canonical = (batch_size, img_size, k_steps) == (32, 64, 9)
     print(json.dumps({
         "metric": f"genesisv2_train_throughput_{img_size}px_"
                   f"K{k_steps}_b{batch_size}",
         "value": round(im_s, 2),
         "unit": "im/s",
-        "vs_baseline": round(im_s / REFERENCE_IM_S, 3),
+        "vs_baseline": round(im_s / REFERENCE_IM_S, 3) if canonical
+        else None,
     }))
 
 

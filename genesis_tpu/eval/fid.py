@@ -159,6 +159,10 @@ def fid_from_model(model, state, test_loader, batch_size: int = 10,
     with the reference's on-disk pipeline.
     """
     extractor = make_extractor(extractor_kind)
+    if feat_dim != extractor.feat_dim:
+        fprint(f"WARNING: feat_dim={feat_dim} requested but only the "
+               f"{extractor.feat_dim}-d pool3 feature space is "
+               "implemented; using that.")
     fprint(f"FID: extractor={extractor.name}, images={num_images}")
 
     dump_state = {"test": 0, "gen": 0}

@@ -18,11 +18,14 @@ from genesis_tpu.train import checkpoint as ckpt_lib
 from genesis_tpu.train.state import create_train_state
 
 
-def load_pretrained(model_dir: str, model_file: str, cfg):
+def load_pretrained(model_dir: str, model_file: str, cfg,
+                    force_flags=None):
     """Returns (model, state, pretrained_flags, loaders).
 
     `cfg` supplies the *eval-time* data settings (batch size etc.); the
     model hyperparameters are restored from `<model_dir>/flags.json`.
+    `force_flags` overrides individual pretrained flags (e.g. the
+    seg-metrics CLI forces load_instances=True like the reference).
     """
     flag_path = osp.join(model_dir, "flags.json")
     fprint(f"Restoring flags from {flag_path}")
@@ -33,6 +36,8 @@ def load_pretrained(model_dir: str, model_file: str, cfg):
     pretrained.debug = cfg.get("debug", False)
     if "seed" in cfg:
         pretrained.seed = cfg.seed
+    if force_flags:
+        pretrained.update(force_flags)
 
     loaders = fet.load(cfg.data_config, pretrained)
     model = fet.load(cfg.model_config, pretrained)

@@ -11,7 +11,6 @@ directly from device tensors (no 20k-PNG round trip); pass --img_dir to
 additionally dump PNGs for the reference's on-disk protocol.
 """
 
-import os
 import os.path as osp
 import random
 import sys
@@ -46,21 +45,6 @@ def main_flags():
     flags.DEFINE_integer("batch_size", 10, "Mini-batch size.")
     flags.DEFINE_boolean("debug", False, "Debug flag.")
     flags.DEFINE_integer("seed", 0, "Seed for random number generators.")
-
-
-def tensor_to_png(array: np.ndarray, save_dir: str, count: int,
-                  stop: int) -> int:
-    """Dump NHWC float [0,1] images as PNGs (reference
-    compute_fid.py:140-150)."""
-    from PIL import Image
-    os.makedirs(save_dir, exist_ok=True)
-    for img in np.asarray(array):
-        Image.fromarray(np.uint8(255 * img)).save(
-            osp.join(save_dir, str(count).zfill(6) + ".png"))
-        count += 1
-        if count >= stop:
-            return count
-    return count
 
 
 def main():

@@ -54,8 +54,11 @@ def main():
     from genesis_tpu.eval import metrics as M
     from genesis_tpu.eval.restore import load_pretrained
 
+    # Force instance loading regardless of the training flags
+    # (reference compute_seg_metrics.py sets config.load_instances=True).
     model, state, pretrained, loaders = load_pretrained(
-        cfg.model_dir, cfg.model_file, cfg)
+        cfg.model_dir, cfg.model_file, cfg,
+        force_flags={"load_instances": True})
     loader = dict(zip(("train", "val", "test"), loaders))[cfg.split]
 
     from genesis_tpu.data.loader import prepare_input

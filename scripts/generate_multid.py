@@ -55,8 +55,10 @@ def _procedural_sprites(num: int, seed: int = 0) -> np.ndarray:
 def generate(sprites, dataset_size, num_objects=None, unique=False,
              rng=None):
     rng = rng or random.Random(0)
-    all_images = np.zeros((dataset_size, 64, 64, 3))
-    all_instance_masks = np.zeros((dataset_size, 64, 64, 1))
+    # uint8/int32 buffers: the float64 equivalents would be ~6.5GB for
+    # the default 50k split. The loader normalises uint8 on device.
+    all_images = np.zeros((dataset_size, 64, 64, 3), np.uint8)
+    all_instance_masks = np.zeros((dataset_size, 64, 64, 1), np.int32)
     n_sprites = len(sprites)
     for i in range(dataset_size):
         if (i + 1) % 10000 == 0:
@@ -79,7 +81,7 @@ def generate(sprites, dataset_size, num_objects=None, unique=False,
             img_colours.append(object_colour)
         all_images[i] = image
         all_instance_masks[i] = instance_masks
-    return all_images.astype("float32") / 255.0, all_instance_masks
+    return all_images, all_instance_masks
 
 
 def main():

@@ -27,11 +27,12 @@ def _load_frames(episode_file: str, subsample: int):
     `sketchy` loader; falls back to raw tfrecord Example parsing."""
     try:
         from sketchy import sketchy  # deepmind-research package
+    except ImportError:
+        sketchy = None
+    if sketchy is not None:
         for frame in sketchy.load_frames(episode_file, subsample):
             yield {k: np.asarray(v) for k, v in frame.items()}
         return
-    except ImportError:
-        pass
     import io
     from PIL import Image
     from genesis_tpu.data import tfrecord as tfr

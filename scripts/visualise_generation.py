@@ -57,7 +57,7 @@ def main():
     K = stats["log_m_k"].shape[0]
     for b in range(cfg.batch_size):
         cols = 1 + K
-        rows = 3
+        rows = 4
         fig, axes = plt.subplots(rows, cols,
                                  figsize=(1.6 * cols, 1.6 * rows),
                                  squeeze=False)
@@ -67,7 +67,8 @@ def main():
         axes[0, 0].imshow(np.clip(np.asarray(gen[b]), 0, 1))
         axes[0, 0].set_title("sample", fontsize=6)
         for r, (name, field) in enumerate(
-                [("mx", "mx_k"), ("x", "x_k"), ("mask", "log_m_k")]):
+                [("mx", "mx_k"), ("x", "x_k"), ("mask", "log_m_k"),
+                 ("scope", "log_s_k")]):
             if field not in stats:
                 continue
             val = stats[field]

@@ -59,7 +59,7 @@ def main():
     K = stats["log_m_k"].shape[0]
     for b in range(x.shape[0]):
         cols = 2 + K
-        rows = 4
+        rows = 5
         fig, axes = plt.subplots(rows, cols,
                                  figsize=(1.6 * cols, 1.6 * rows),
                                  squeeze=False)
@@ -70,8 +70,13 @@ def main():
         axes[0, 0].set_title("input", fontsize=6)
         axes[0, 1].imshow(np.clip(np.asarray(recon[b]), 0, 1))
         axes[0, 1].set_title("recon", fontsize=6)
+        # The mask row must match the mx row: reconstructed masks when
+        # the model has them (GENESIS-V2/MONet), else attention masks
+        # (reference visualise_reconstruction.py model-dependent field).
+        mask_field = "log_m_r_k" if "log_m_r_k" in stats else "log_m_k"
         names_fields = [("mx", "mx_r_k"), ("x", "x_r_k"),
-                        ("mask", "log_m_k"), ("scope", "log_s_k")]
+                        ("mask", mask_field), ("att", "log_m_k"),
+                        ("scope", "log_s_k")]
         for r, (name, field) in enumerate(names_fields):
             if field not in stats:
                 continue

@@ -200,7 +200,7 @@ def test_generate_multid_and_load(tmp_path):
     batch = next(iter(tng))
     assert batch["input"].shape == (4, 64, 64, 3)
     assert batch["instances"].shape == (4, 64, 64, 1)
-    assert batch["input"].max() <= 1.0
+    assert batch["input"].dtype == np.uint8  # device-normalised
     assert batch["instances"].max() <= 4
     # unique-colour variant also written
     assert osp.exists(
