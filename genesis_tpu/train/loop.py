@@ -51,6 +51,7 @@ def evaluation(model, eval_step, state, data_loader, logger, cfg,
     counts = AttrDefault(int)
     key = jax.random.PRNGKey(cfg.get("seed", 0) + 1234 + int(iter_idx))
     nelements = None
+    batch = None
     for b_idx, batch in enumerate(data_loader):
         if b_idx == num_batches:
             break
@@ -67,6 +68,21 @@ def evaluation(model, eval_step, state, data_loader, logger, cfg,
                 continue
             sums[k] += float(np.asarray(v))
             counts[k] += 1
+
+    # Debug-mode invariant: masks must sum to one (the reference's
+    # check_log_masks asserts, misc.py:258-270, gated on debug/eval).
+    if cfg.get("debug", False) and batch is not None:
+        from genesis_tpu.data.loader import prepare_input
+        from genesis_tpu.utils.misc import check_log_masks
+        variables = {"params": state.params}
+        if jax.tree_util.tree_leaves(state.batch_stats):
+            variables["batch_stats"] = state.batch_stats
+        _, _, mstats, _, _ = model.apply(
+            variables, prepare_input(jnp.asarray(batch["input"])), False,
+            rngs={"sample": key})
+        for field in ("log_m_k", "log_m_r_k"):
+            if field in mstats:
+                check_log_masks(np.asarray(mstats[field]))
 
     stats = {k: sums[k] / max(counts[k], 1) for k in sums}
     if "err" in stats and nelements:
