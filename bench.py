@@ -4,13 +4,18 @@ metric — images/sec on the ShapeStacks training config: 64x64, K_steps=9,
 batch 32, GECO + Adam, full train step incl. backward + optimiser).
 
 Prints ONE JSON line:
-  {"metric": ..., "value": N, "unit": "im/s", "vs_baseline": N}
+  {"metric": ..., "value": N, "unit": "im/s", "vs_baseline": N,
+   "flops_per_step": N, "achieved_tflops": N, "mfu": N, ...}
 
-vs_baseline normalises against the reference implementation's measured
-GPU throughput. The reference publishes no wall-clock numbers
-(BASELINE.md); REFERENCE_IM_S below is our estimate of the reference's
-~100 im/s on its CUDA-10.1-era GPU for this config (PyTorch 1.3,
-batch 32). The north-star target is >= 5x that.
+vs_baseline: the reference publishes no wall-clock numbers (BASELINE.md),
+so it normalises against an ESTIMATED ~100 im/s for the reference's
+PyTorch-1.3/CUDA-10.1-era GPU on this config — an estimate, not a
+measurement ("baseline_estimated": true marks this). The absolute anchor
+is MFU: achieved FLOP/s (XLA cost analysis of the compiled step) over the
+chip's bf16 peak.
+
+Env knobs: BENCH_BATCH/BENCH_IMG/BENCH_K/BENCH_STEPS, or
+BENCH_CONFIG=clevr for the 128px/K11 CLEVR-shaped config.
 """
 
 import json
@@ -20,6 +25,22 @@ import time
 import numpy as np
 
 REFERENCE_IM_S = 100.0  # estimated reference GPU throughput (see above)
+
+# bf16 peak FLOP/s per chip, by device_kind substring.
+_PEAK_FLOPS = (
+    ("v6", 918e12),       # Trillium
+    ("v5p", 459e12),
+    ("v5", 197e12),       # v5e / "TPU v5 lite"
+    ("v4", 275e12),
+)
+
+
+def peak_flops(device) -> float:
+    kind = getattr(device, "device_kind", "").lower()
+    for tag, peak in _PEAK_FLOPS:
+        if tag in kind:
+            return peak
+    return None
 
 
 def main():
@@ -33,9 +54,14 @@ def main():
     from genesis_tpu.train import step as step_lib
     from genesis_tpu.train.state import create_train_state
 
-    batch_size = int(os.environ.get("BENCH_BATCH", "32"))
-    img_size = int(os.environ.get("BENCH_IMG", "64"))
-    k_steps = int(os.environ.get("BENCH_K", "9"))
+    preset = os.environ.get("BENCH_CONFIG", "")
+    if preset == "clevr":  # CLEVR-shaped: 128px, K=11 (BASELINE.md)
+        defaults = dict(batch=32, img=128, k=11)
+    else:
+        defaults = dict(batch=32, img=64, k=9)
+    batch_size = int(os.environ.get("BENCH_BATCH", defaults["batch"]))
+    img_size = int(os.environ.get("BENCH_IMG", defaults["img"]))
+    k_steps = int(os.environ.get("BENCH_K", defaults["k"]))
     steps = int(os.environ.get("BENCH_STEPS", "50"))
 
     cfg = AttrDict(
@@ -59,6 +85,17 @@ def main():
         step_lib.make_train_step(model, cfg))
     device_batch = shard_batch(mesh, batch)
 
+    # XLA's FLOP count for the whole compiled step (fwd+bwd+opt+GECO).
+    flops = None
+    try:
+        lowered = train_step.lower(state, device_batch)
+        cost = lowered.compile().cost_analysis()
+        if isinstance(cost, (list, tuple)):
+            cost = cost[0]
+        flops = float(cost.get("flops", 0.0)) or None
+    except Exception:
+        pass
+
     # Compile + warmup
     for _ in range(3):
         state, metrics = train_step(state, device_batch)
@@ -71,17 +108,29 @@ def main():
     dt = time.perf_counter() - t0
 
     im_s = batch_size * steps / dt
+    steps_s = steps / dt
     # The reference estimate is for the canonical 64px/K9/b32 config;
     # comparing other configs against it would overstate the speedup.
     canonical = (batch_size, img_size, k_steps) == (32, 64, 9)
-    print(json.dumps({
+    record = {
         "metric": f"genesisv2_train_throughput_{img_size}px_"
                   f"K{k_steps}_b{batch_size}",
         "value": round(im_s, 2),
         "unit": "im/s",
         "vs_baseline": round(im_s / REFERENCE_IM_S, 3) if canonical
         else None,
-    }))
+        "baseline_estimated": True,  # no published reference wall-clock
+        "step_ms": round(1e3 / steps_s, 3),
+    }
+    if flops:
+        achieved = flops * steps_s
+        record["flops_per_step"] = flops
+        record["achieved_tflops"] = round(achieved / 1e12, 3)
+        peak = peak_flops(jax.devices()[0])
+        if peak:
+            record["mfu"] = round(achieved / peak, 4)
+            record["peak_tflops"] = peak / 1e12
+    print(json.dumps(record))
 
 
 if __name__ == "__main__":

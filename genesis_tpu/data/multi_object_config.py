@@ -57,12 +57,22 @@ def _resize_nearest(x: np.ndarray, size: int) -> np.ndarray:
 
 
 class MultiObjectLoader:
-    """Sequential-stream epoch loader with shuffle buffer."""
+    """Stream epoch loader with shuffle buffer.
+
+    The GZIP record stream is sequential by nature, but the CPU-heavy
+    stages parallelise: with `num_workers` > 0, one reader thread drains
+    the stream while a worker pool decodes records (proto/byte extract)
+    and a second pool assembles batches (crop/resize/mask folding) —
+    replacing the reference's forked DataLoader workers
+    (multi_object_config.py:145-212) with threads, since the arrays are
+    produced by the GIL-releasing native parser / numpy.
+    """
 
     def __init__(self, path: str, name: str, variant, skip: int,
                  num_frames: int, background_entities: int,
                  batch_size: int, img_size: int,
-                 buffer_size: int = 128, seed: int = 0):
+                 buffer_size: int = 128, seed: int = 0,
+                 num_workers: int = 0):
         self.path = path
         self.name = name
         self.variant = variant
@@ -72,18 +82,77 @@ class MultiObjectLoader:
         self.batch_size = batch_size
         self.img_size = img_size
         self.buffer_size = buffer_size * batch_size
+        self.num_workers = num_workers
         self._rng = np.random.RandomState(seed)
 
     def __len__(self):
         return self.num_frames // self.batch_size
 
     def _examples(self) -> Iterator[Dict[str, np.ndarray]]:
+        if self.num_workers > 0:
+            yield from self._examples_threaded()
+            return
         it = mods.dataset(self.path, self.name, self.variant,
                           skip=self.skip, fields=("image", "mask"))
         for i, ex in enumerate(it):
             if i >= self.num_frames:
                 return
             yield ex
+
+    def _examples_threaded(self) -> Iterator[Dict[str, np.ndarray]]:
+        """Reader thread (stream) + worker pool (decode)."""
+        import queue
+        import threading
+
+        from genesis_tpu.data import tfrecord as tfr
+
+        n = self.num_workers
+        q_rec: "queue.Queue" = queue.Queue(maxsize=64 * n)
+        q_ex: "queue.Queue" = queue.Queue(maxsize=64 * n)
+        sentinel = object()
+        decode = mods.make_decoder(self.name, self.variant,
+                                   ("image", "mask"))
+
+        def reader():
+            try:
+                it = tfr.iter_records(self.path, compression="GZIP",
+                                      skip=self.skip)
+                for i, record in enumerate(it):
+                    if i >= self.num_frames:
+                        break
+                    q_rec.put(record)
+            except BaseException as e:  # propagate into the consumer
+                q_ex.put(("__error__", e))
+            finally:
+                for _ in range(n):
+                    q_rec.put(sentinel)
+
+        def worker():
+            try:
+                while True:
+                    record = q_rec.get()
+                    if record is sentinel:
+                        break
+                    q_ex.put(decode(record))
+            except BaseException as e:
+                q_ex.put(("__error__", e))
+            finally:
+                q_ex.put(sentinel)
+
+        threads = [threading.Thread(target=reader, daemon=True)]
+        threads += [threading.Thread(target=worker, daemon=True)
+                    for _ in range(n)]
+        for t in threads:
+            t.start()
+        done = 0
+        while done < n:
+            item = q_ex.get()
+            if item is sentinel:
+                done += 1
+                continue
+            if isinstance(item, tuple) and item and item[0] == "__error__":
+                raise item[1]
+            yield item
 
     def _shuffled(self):
         buf = []
@@ -119,12 +188,35 @@ class MultiObjectLoader:
         return {"input": img, "instances": labels.astype(np.int32)}
 
     def __iter__(self):
+        if self.num_workers > 0:
+            yield from self._iter_threaded()
+            return
         batch = []
         for ex in self._shuffled():
             batch.append(ex)
             if len(batch) == self.batch_size:
                 yield self._to_batch(batch)
                 batch = []
+
+    def _iter_threaded(self):
+        """Overlap batch assembly (crop/resize/mask-folding) with the
+        decode pipeline: keep a few _to_batch futures in flight."""
+        import collections
+        from concurrent.futures import ThreadPoolExecutor
+
+        in_flight = collections.deque()
+        max_in_flight = 2 * self.num_workers
+        with ThreadPoolExecutor(self.num_workers) as pool:
+            batch = []
+            for ex in self._shuffled():
+                batch.append(ex)
+                if len(batch) == self.batch_size:
+                    in_flight.append(pool.submit(self._to_batch, batch))
+                    batch = []
+                    if len(in_flight) >= max_in_flight:
+                        yield in_flight.popleft().result()
+            while in_flight:
+                yield in_flight.popleft().result()
 
 
 def load(cfg, **unused_kwargs):
@@ -158,7 +250,8 @@ def load(cfg, **unused_kwargs):
                   background_entities=background_entities,
                   batch_size=cfg.batch_size, img_size=cfg.img_size,
                   buffer_size=cfg.get("buffer_size", 128),
-                  seed=cfg.get("seed", 0))
+                  seed=cfg.get("seed", 0),
+                  num_workers=max(cfg.get("num_workers", 0), 0))
     # take/skip split as in the reference: test = first 10k, val = next
     # 10k, train = rest (multi_object_config.py:124-126).
     tst = MultiObjectLoader(skip=0, num_frames=tst_sz, **common)

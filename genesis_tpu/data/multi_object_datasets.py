@@ -97,22 +97,17 @@ def _reshape_byte_feature(arr: np.ndarray, feat) -> np.ndarray:
     return arr.reshape(shape)
 
 
-def dataset(tfrecords_path: str, name: str,
-            variant: Optional[str] = None,
-            skip: int = 0,
-            fields: Optional[tuple] = None
-            ) -> Iterator[Dict[str, np.ndarray]]:
-    """Stream decoded examples {image: [H,W,3] u8, mask: [E,H,W] u8, ...}.
+def make_decoder(name: str, variant: Optional[str] = None,
+                 fields: Optional[tuple] = None):
+    """Build a pure record-bytes -> example-dict decoder.
 
-    `skip` fast-skips records without proto parsing (the take/skip
-    train/val/test split). `fields` restricts decoding to the named
-    features — with the native parser this extracts just those fields
-    from the wire bytes (the hot path decodes only image+mask).
+    Splitting decode from the (inherently sequential, GZIP) record stream
+    lets data loaders parallelise the CPU-bound proto/byte extraction
+    across worker threads while one reader drains the stream.
     """
     spec, byte_feats, transpose = _get_spec(name, variant)
 
-    for record in tfr.iter_records(tfrecords_path, compression="GZIP",
-                                   skip=skip):
+    def decode(record: bytes) -> Dict[str, np.ndarray]:
         example: Dict[str, np.ndarray] = {}
         if fields is not None:
             for key in fields:
@@ -134,4 +129,24 @@ def dataset(tfrecords_path: str, name: str,
         if transpose and "mask" in example:
             # multi_dsprites stores masks [H, W, E]; canonical is [E,H,W]
             example["mask"] = np.transpose(example["mask"], (2, 0, 1))
-        yield example
+        return example
+
+    return decode
+
+
+def dataset(tfrecords_path: str, name: str,
+            variant: Optional[str] = None,
+            skip: int = 0,
+            fields: Optional[tuple] = None
+            ) -> Iterator[Dict[str, np.ndarray]]:
+    """Stream decoded examples {image: [H,W,3] u8, mask: [E,H,W] u8, ...}.
+
+    `skip` fast-skips records without proto parsing (the take/skip
+    train/val/test split). `fields` restricts decoding to the named
+    features — with the native parser this extracts just those fields
+    from the wire bytes (the hot path decodes only image+mask).
+    """
+    decode = make_decoder(name, variant, fields)
+    for record in tfr.iter_records(tfrecords_path, compression="GZIP",
+                                   skip=skip):
+        yield decode(record)

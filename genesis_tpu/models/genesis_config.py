@@ -47,6 +47,10 @@ flags.DEFINE_boolean("pixel_bound", True, "Bound pixel values to [0, 1].")
 flags.DEFINE_float("pixel_std1", 0.7, "StdDev of reconstructed pixels.")
 flags.DEFINE_float("pixel_std2", 0.7, "StdDev of reconstructed pixels.")
 flags.DEFINE_boolean("montecarlo_kl", True, "Evaluate KL via MC samples.")
+flags.DEFINE_integer("scan_unroll", 0,
+                     "Unroll factor for the serial K-step scans "
+                     "(0 = full unroll: best step time; 1 = true scan: "
+                     "fastest XLA compile at large K/resolution).")
 flags.DEFINE_string("compute_dtype", "bfloat16",
                     "{float32, bfloat16} - conv/matmul computation dtype.")
 
@@ -72,6 +76,7 @@ def load(cfg):
         pixel_std2=cfg.pixel_std2,
         input_channels=cfg.get("input_channels", 3),
         compute_dtype=cfg.get("compute_dtype", "bfloat16"),
+        scan_unroll=cfg.get("scan_unroll", 0),
     )
 
 
@@ -124,6 +129,7 @@ class Genesis(nn.Module):
     pixel_std2: float = 0.7
     input_channels: int = 3
     compute_dtype: str = "bfloat16"
+    scan_unroll: int = 0
 
     def setup(self):
         assert self.K_steps > 1
@@ -132,7 +138,8 @@ class Genesis(nn.Module):
             z_size=self.ldim, img_size=self.img_size, nout=1,
             enc_norm=self.enc_norm, dec_norm=self.dec_norm,
             compute_dtype=self.compute_dtype)
-        self.att_process = LatentSBP(core=att_core)
+        self.att_process = LatentSBP(core=att_core,
+                             scan_unroll=self.scan_unroll)
         # - Component stage (genesis_config.py:98-126)
         if self.two_stage:
             if self.comp_symmetric:
@@ -163,7 +170,8 @@ class Genesis(nn.Module):
 
         # - Priors (genesis_config.py:128-138)
         if self.autoreg_prior:
-            self.prior = AutoregPrior(ldim=self.ldim, hidden=256)
+            self.prior = AutoregPrior(ldim=self.ldim, hidden=256,
+                          scan_unroll=self.scan_unroll)
         if self._use_comp_prior():
             self.prior_mlp = nn.Sequential([
                 B.Dense(256), nn.elu,

@@ -32,8 +32,9 @@ flags.DEFINE_string("kernel", "gaussian",
                     "{laplacian, gaussian, epanechnikov}")
 flags.DEFINE_boolean("semiconv", True, "Use semi-convolutional embeddings.")
 flags.DEFINE_boolean("dynamic_K", False, "Dynamic K.")
-flags.DEFINE_boolean("pallas_icsbp", False,
-                     "Run IC-SBP as the fused Pallas kernel.")
+flags.DEFINE_boolean("pallas_icsbp", True,
+                     "Run IC-SBP as the fused Pallas kernel (TPU only; "
+                     "auto-falls back above 64px / non-lane-aligned).")
 # Auxiliary mask consistency loss
 flags.DEFINE_boolean("klm_loss", False, "KL mask regulariser.")
 flags.DEFINE_boolean("detach_mr_in_klm", True,
@@ -43,6 +44,10 @@ flags.DEFINE_boolean("autoreg_prior", True, "Autoregressive prior.")
 flags.DEFINE_boolean("pixel_bound", True, "Bound pixel values to [0, 1].")
 flags.DEFINE_float("pixel_std1", 0.7, "StdDev of reconstructed pixels.")
 flags.DEFINE_float("pixel_std2", 0.7, "StdDev of reconstructed pixels.")
+flags.DEFINE_integer("scan_unroll", 0,
+                     "Unroll factor for the serial K-step scans "
+                     "(0 = full unroll: best step time; 1 = true scan: "
+                     "fastest XLA compile at large K/resolution).")
 flags.DEFINE_string("compute_dtype", "bfloat16",
                     "{float32, bfloat16} - conv/matmul computation dtype "
                     "(params and losses stay float32).")
@@ -57,7 +62,7 @@ def load(cfg):
         kernel=cfg.get("kernel", "gaussian"),
         semiconv=cfg.get("semiconv", True),
         dynamic_K=cfg.get("dynamic_K", False),
-        pallas_icsbp=cfg.get("pallas_icsbp", False),
+        pallas_icsbp=cfg.get("pallas_icsbp", True),
         klm_loss=cfg.get("klm_loss", False),
         detach_mr_in_klm=cfg.get("detach_mr_in_klm", True),
         autoreg_prior=cfg.get("autoreg_prior", True),
@@ -65,6 +70,7 @@ def load(cfg):
         pixel_std=cfg.pixel_std1,
         input_channels=cfg.get("input_channels", 3),
         compute_dtype=cfg.get("compute_dtype", "bfloat16"),
+        scan_unroll=cfg.get("scan_unroll", 0),
     )
 
 
@@ -75,7 +81,7 @@ class GenesisV2(nn.Module):
     kernel: str = "gaussian"
     semiconv: bool = True
     dynamic_K: bool = False
-    pallas_icsbp: bool = False
+    pallas_icsbp: bool = True
     klm_loss: bool = False
     detach_mr_in_klm: bool = True
     autoreg_prior: bool = True
@@ -83,6 +89,7 @@ class GenesisV2(nn.Module):
     pixel_std: float = 0.7
     input_channels: int = 3
     compute_dtype: str = "bfloat16"
+    scan_unroll: int = 0
 
     def setup(self):
         F = self.feat_dim
@@ -104,7 +111,8 @@ class GenesisV2(nn.Module):
             K_steps=self.K_steps,
             feat_dim=F,
             semiconv=self.semiconv,
-            use_pallas=self.pallas_icsbp)
+            use_pallas=self.pallas_icsbp,
+            scan_unroll=self.scan_unroll)
         self.seg_head = B.ConvGNReLU(nout=F, kernel=3, stride=1,
                                      padding=1, dtype=dt)
         self.feat_head_conv = B.ConvGNReLU(nout=F, kernel=3, stride=1,
@@ -127,7 +135,8 @@ class GenesisV2(nn.Module):
         self.dec_head = B.Conv(self.input_channels + 1, 1)
         # Prior
         if self.autoreg_prior and self.K_steps > 1:
-            self.prior = AutoregPrior(ldim=F, hidden=4 * F)
+            self.prior = AutoregPrior(ldim=F, hidden=4 * F,
+                          scan_unroll=self.scan_unroll)
 
     # -- Decoder over K-folded batch ------------------------------------
     def _decoder_module(self, z, train: bool = True):

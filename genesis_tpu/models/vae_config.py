@@ -83,6 +83,12 @@ class BaselineVAE(nn.Module):
             recon = jax.nn.sigmoid(recon)
         err = -jnp.sum(L.normal_log_prob(x, recon, self.pixel_std),
                        axis=(1, 2, 3))
+        # KL branch parity note: the reference has a normalising-flow KL
+        # variant (vae_config.py:80-86, `log_det_j`/`z_0 != z_k`) that is
+        # DEAD CODE there — the vendored sylvester base VAE never enables
+        # flows (VAE.py builds no flow layers), so z_0 == z_k and
+        # log_det_j == 0 always, reducing exactly to this MC KL. Only the
+        # live no-flow path is implemented.
         kl = jnp.sum(L.normal_log_prob(z, mean, sigma)
                      - L.std_normal_log_prob(z), axis=-1)
         losses = AttrDict(err=err, kl_l=kl)

@@ -89,10 +89,22 @@ class SimpleSBP(nn.Module):
         return log_m, log_s, core_out[..., 1:]
 
 
+def _unroll(steps: int, unroll) -> int:
+    """Scan unroll policy. The serial K-loops are lowered to nn.scan so
+    the body is traced ONCE (fast tracing on a 1-core host) — but a
+    device-side loop of small per-slot ops costs step time on TPU
+    (measured +40% on the V2 train step at 64px/K9), so by default the
+    scan is fully unrolled at the HLO level: single trace, zero loop
+    overhead. Pass unroll=1 (or a divisor of K) to trade step time for
+    XLA compile time at large K/resolution."""
+    return steps if unroll in (0, None) else min(unroll, steps)
+
+
 class LatentSBP(nn.Module):
     """Latent stick-breaking: LSTM over mask latents conditioned on encoder
     features, batched parallel decode (attention.py:77-133)."""
     core: GatedConvVAE
+    scan_unroll: int = 0  # 0 = full unroll (see _unroll)
 
     def setup(self):
         z = self.core.z_size
@@ -107,27 +119,44 @@ class LatentSBP(nn.Module):
         key = self.make_rng("sample")
         keys = jax.random.split(key, steps_to_run)
         z, sigma = self.core.reparameterize(mean, var, keys[0])
-        z_k, mu_k, sigma_k = [z], [mean], [sigma]
-        carry = (jnp.zeros((bsz, 2 * z_size), h.dtype),
-                 jnp.zeros((bsz, 2 * z_size), h.dtype))
-        for step in range(1, steps_to_run):
-            lstm_in = jnp.concatenate([h, z_k[-1]], axis=-1)
-            carry, lstm_out = self.lstm(carry, lstm_in)
-            mean_k, var_ps = jnp.split(self.linear(lstm_out), 2, axis=-1)
+
+        # The z_{k-1} -> z_k recurrence is serial by construction
+        # (reference attention.py:94-103); lower it to nn.scan carrying
+        # (lstm_state, z) with broadcast params so the LSTM body compiles
+        # once regardless of K (SURVEY.md section 7.3).
+        def step(mod, carry, step_key):
+            lstm_carry, z_prev = carry
+            lstm_in = jnp.concatenate([h, z_prev], axis=-1)
+            lstm_carry, lstm_out = mod.lstm(lstm_carry, lstm_in)
+            mean_k, var_ps = jnp.split(mod.linear(lstm_out), 2, axis=-1)
             var_k = B.to_var(var_ps)
-            z, sigma = self.core.reparameterize(mean_k, var_k, keys[step])
-            z_k.append(z)
-            mu_k.append(mean_k)
-            sigma_k.append(sigma)
-        z_all = jnp.stack(z_k)                      # [S, B, z]
+            z_k, sigma_k = mod.core.reparameterize(mean_k, var_k, step_key)
+            return (lstm_carry, z_k), (z_k, mean_k, sigma_k)
+
+        if steps_to_run > 1:
+            carry0 = ((jnp.zeros((bsz, 2 * z_size), h.dtype),
+                       jnp.zeros((bsz, 2 * z_size), h.dtype)),
+                      z.astype(h.dtype))
+            scan = nn.scan(step, variable_broadcast="params",
+                           split_rngs={"params": False},
+                           unroll=_unroll(steps_to_run - 1,
+                                          self.scan_unroll))
+            _, (z_rest, mu_rest, sigma_rest) = scan(self, carry0, keys[1:])
+            z_all = jnp.concatenate([z[None], z_rest], axis=0)  # [S, B, z]
+            mu_k = jnp.concatenate([mean[None], mu_rest], axis=0)
+            sigma_k = jnp.concatenate([sigma[None], sigma_rest], axis=0)
+        else:
+            z_all = z[None]
+            mu_k = mean[None]
+            sigma_k = sigma[None]
         # Parallel decode with S folded into batch.
         out = self.core.decode(z_all.reshape(steps_to_run * bsz, -1), train)
         out = out.reshape((steps_to_run, bsz) + out.shape[1:])
         log_m, log_s = sbp_rollout(out[..., :1])
         stats = {
             "x_k": out,
-            "mu_k": jnp.stack(mu_k),
-            "sigma_k": jnp.stack(sigma_k),
+            "mu_k": mu_k,
+            "sigma_k": sigma_k,
             "z_k": z_all,
         }
         return log_m, log_s, stats
@@ -153,11 +182,14 @@ def _kernel_sigma_init(kernel: str, K_steps: int) -> float:
 class InstanceColouringSBP(nn.Module):
     """IC-SBP kernel-attention clustering (attention.py:136-226).
 
-    With `use_pallas` (and a lane-aligned, VMEM-fitting shape) the K-step
-    rollout runs as one fused Pallas kernel (ops/pallas/ic_sbp.py) with a
-    fixed-seed K-parallel VJP; gradients are identical. Measured at
-    parity with the stock XLA path at 64px on v5e (XLA already fuses
-    this chain well), so it is opt-in rather than the default.
+    With `use_pallas` (default) and a lane-aligned, VMEM-fitting shape,
+    the K-step rollout runs as one fused Pallas kernel
+    (ops/pallas/ic_sbp.py) with a fixed-seed K-parallel VJP; gradients
+    are identical. Measured on v5e (full V2 train step, b32): +2.7%
+    throughput at 64px/K9 (11.50 vs 11.81 ms/step); above 64px the
+    (S+1)-deep VMEM blocks exceed budget and `supported()` routes to the
+    stock XLA path. Engages on the TPU backend only — interpret mode is
+    for the direct kernel-parity tests, not the model path.
     """
     img_size: int
     kernel: str = "gaussian"
@@ -166,7 +198,8 @@ class InstanceColouringSBP(nn.Module):
     feat_dim: Optional[int] = None
     semiconv: bool = True
     dynamic_K_threshold: float = 20.0
-    use_pallas: bool = False
+    use_pallas: bool = True
+    scan_unroll: int = 0  # 0 = full unroll (see _unroll)
 
     def setup(self):
         sigma_init = _kernel_sigma_init(self.kernel, self.K_steps)
@@ -215,14 +248,15 @@ class InstanceColouringSBP(nn.Module):
 
         same_res = (ch, cw) == (self.img_size, self.img_size)
         from genesis_tpu.ops.pallas import ic_sbp as icp
-        if self.use_pallas and same_res and icp.supported(
+        on_tpu = jax.default_backend() == "tpu"
+        if self.use_pallas and on_tpu and same_res and icp.supported(
                 self.img_size, steps_to_run, self.colour_dim):
             log_m_full_, log_s_, seeds_ = icp.ic_sbp_rollout(
                 colour.astype(jnp.float32), rand_pixel[..., 0],
                 self.log_sigma, steps_to_run, self.kernel)
             log_m = log_m_full_[:-1][..., None]   # [S, B, H, W, 1]
             log_s_all = log_s_[..., None]         # [S+1, B, H, W, 1]
-            seeds = list(seeds_)
+            seeds = seeds_
         else:
             # The SBP update adds log(alpha) (at the colour-field
             # resolution) onto the scope, so the two must match. The
@@ -232,27 +266,36 @@ class InstanceColouringSBP(nn.Module):
                 f"IC-SBP requires the colour field resolution "
                 f"{(ch, cw)} to equal img_size {self.img_size}")
             colour_flat = colour.reshape(bsz, ch * cw, self.colour_dim)
-            log_s = jnp.zeros((bsz, self.img_size, self.img_size, 1),
-                              colour.dtype)
-            log_m_steps, log_s_k, seeds = [], [log_s], []
-            for _ in range(steps_to_run):
+            log_s0 = jnp.zeros((bsz, self.img_size, self.img_size, 1),
+                               colour.dtype)
+
+            # Serial SBP rollout as nn.scan (one traced body for any K;
+            # SURVEY.md section 7.3). Carry = scope; the kernel width
+            # param log_sigma is broadcast.
+            def sbp_step(mod, log_s, _):
                 scope = jnp.exp(log_s)
                 pixel_probs = (rand_pixel * scope).reshape(bsz, ch * cw)
                 rand_max = jnp.argmax(pixel_probs, axis=1)       # [B]
                 seed = jnp.take_along_axis(
                     colour_flat, rand_max[:, None, None],
                     axis=1)[:, 0]                                # [B,D]
-                seeds.append(seed)
-                alpha = self._alpha(colour, seed)
+                alpha = mod._alpha(colour, seed)
                 # Clamp to [0.01, 0.99] for numerical stability,
                 # straight-through grads (attention.py:211-213).
                 alpha = B.clamp_preserve_gradients(alpha, 0.01, 0.99)
-                log_m_steps.append(log_s + jnp.log(alpha))
-                log_s = log_s + jnp.log1p(-alpha)
-                log_s_k.append(log_s)
+                log_m_step = log_s + jnp.log(alpha)
+                new_s = log_s + jnp.log1p(-alpha)
+                return new_s, (log_m_step, new_s, seed)
 
-            log_m = jnp.stack(log_m_steps)      # [S, B, H, W, 1]
-            log_s_all = jnp.stack(log_s_k)      # [S+1, B, H, W, 1]
+            scan = nn.scan(sbp_step, variable_broadcast="params",
+                           split_rngs={"params": False},
+                           length=steps_to_run,
+                           unroll=_unroll(steps_to_run,
+                                          self.scan_unroll))
+            _, (log_m, log_s_steps, seeds) = scan(self, log_s0, None)
+            # log_m: [S, B, H, W, 1]; prepend the initial scope.
+            log_s_all = jnp.concatenate([log_s0[None], log_s_steps],
+                                        axis=0)  # [S+1, B, H, W, 1]
         mask_mass = jnp.sum(jnp.exp(log_m), axis=(2, 3, 4))  # [S, B]
 
         if dynamic_K:
@@ -285,5 +328,5 @@ class InstanceColouringSBP(nn.Module):
             log_m_full = jnp.concatenate([log_m, log_s_all[-1:]], axis=0)
 
         stats = {"colour": colour, "delta": delta,
-                 "seeds": jnp.stack(seeds)}
+                 "seeds": jnp.asarray(seeds)}
         return log_m_full, log_s_all, stats

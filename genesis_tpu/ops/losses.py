@@ -97,10 +97,15 @@ class AutoregPrior(nn.Module):
     (reference models/genesis_config.py:129-132, 288-343)."""
     ldim: int
     hidden: int = 256
+    scan_unroll: int = 0  # 0 = full unroll (see attention._unroll)
 
     def setup(self):
         self.cell = nn.OptimizedLSTMCell(self.hidden)
         self.linear = B.Dense(2 * self.ldim)
+
+    def _unroll(self, steps: int) -> int:
+        from genesis_tpu.ops.attention import _unroll
+        return _unroll(steps, self.scan_unroll)
 
     def _step_params(self, lstm_out):
         mu_raw, sigma_raw = jnp.split(self.linear(lstm_out), 2, axis=-1)
@@ -108,30 +113,49 @@ class AutoregPrior(nn.Module):
 
     def prior_params(self, z_seq):
         """Teacher-forced prior params for steps 1..S given z_seq [S,B,D]
-        (the latents for steps 0..S-1). Returns (mu, sigma) [S,B,D]."""
-        S, bsz = z_seq.shape[0], z_seq.shape[1]
-        carry = (jnp.zeros((bsz, self.hidden), z_seq.dtype),
-                 jnp.zeros((bsz, self.hidden), z_seq.dtype))
-        outs = []
-        for t in range(S):
-            carry, y = self.cell(carry, z_seq[t])
-            outs.append(y)
-        return self._step_params(jnp.stack(outs))
+        (the latents for steps 0..S-1). Returns (mu, sigma) [S,B,D].
+
+        Teacher forcing makes only the LSTM recurrence serial — it is
+        lowered to nn.scan (one traced cell body for any K, SURVEY.md
+        section 7.3); the output head runs batched over all steps.
+        """
+        bsz = z_seq.shape[1]
+        carry0 = (jnp.zeros((bsz, self.hidden), z_seq.dtype),
+                  jnp.zeros((bsz, self.hidden), z_seq.dtype))
+
+        def step(mod, carry, z_t):
+            carry, y = mod.cell(carry, z_t)
+            return carry, y
+
+        scan = nn.scan(step, variable_broadcast="params",
+                       split_rngs={"params": False},
+                       unroll=self._unroll(z_seq.shape[0]))
+        _, outs = scan(self, carry0, z_seq)
+        return self._step_params(outs)
 
     def rollout(self, key, batch_size: int, steps: int):
         """Ancestral sampling: z_1 ~ N(0,1), z_k ~ p(.|z_<k). Returns
-        z [steps, B, D]."""
+        z [steps, B, D]. Serial by construction; nn.scan carries
+        (lstm_state, z)."""
         keys = jax.random.split(key, steps)
-        z = jax.random.normal(keys[0], (batch_size, self.ldim))
-        z_k = [z]
-        carry = (jnp.zeros((batch_size, self.hidden), z.dtype),
-                 jnp.zeros((batch_size, self.hidden), z.dtype))
-        for t in range(1, steps):
-            carry, y = self.cell(carry, z_k[-1])
-            mu, sigma = self._step_params(y)
-            z = mu + sigma * jax.random.normal(keys[t], mu.shape)
-            z_k.append(z)
-        return jnp.stack(z_k)
+        z0 = jax.random.normal(keys[0], (batch_size, self.ldim))
+        if steps == 1:
+            return z0[None]
+
+        def step(mod, carry, step_key):
+            lstm_carry, z_prev = carry
+            lstm_carry, y = mod.cell(lstm_carry, z_prev)
+            mu, sigma = mod._step_params(y)
+            z_t = mu + sigma * jax.random.normal(step_key, mu.shape)
+            return (lstm_carry, z_t), z_t
+
+        carry0 = ((jnp.zeros((batch_size, self.hidden), z0.dtype),
+                   jnp.zeros((batch_size, self.hidden), z0.dtype)), z0)
+        scan = nn.scan(step, variable_broadcast="params",
+                       split_rngs={"params": False},
+                       unroll=self._unroll(steps - 1))
+        _, z_rest = scan(self, carry0, keys[1:])
+        return jnp.concatenate([z0[None], z_rest], axis=0)
 
 
 def mask_latent_loss(q_mu_k, q_sigma_k, z_0_k, z_k_k=None,

@@ -97,17 +97,30 @@ def evaluation(model, eval_step, state, data_loader, logger, cfg,
     return stats
 
 
+def make_vis_fns(model):
+    """Jitted forward + sample for the image-logging path, so the 25k-step
+    visualisation cadence doesn't re-trace model.apply eagerly on host."""
+    fwd = jax.jit(lambda variables, x, key: model.apply(
+        variables, x, False, rngs={"sample": key}))
+    sample = jax.jit(lambda variables, key: model.apply(
+        variables, 8, rngs={"sample": key}, method=model.sample))
+    return fwd, sample
+
+
 def visualise_outputs(model, state, vis_batch, logger, mode, iter_idx,
-                      sample_key):
+                      sample_key, vis_fns=None):
     """Image grids: input/recon/instances/per-slot decomposition/samples
     (reference train.py:423-476)."""
     from genesis_tpu.data.loader import prepare_input
+    if vis_fns is None:
+        vis_fns = make_vis_fns(model)
+    vis_forward, vis_sample = vis_fns
     vis_input = prepare_input(jnp.asarray(vis_batch["input"][:8]))
     variables = {"params": state.params}
     if jax.tree_util.tree_leaves(state.batch_stats):
         variables["batch_stats"] = state.batch_stats
-    recon, losses, stats, att_stats, comp_stats = model.apply(
-        variables, vis_input, False, rngs={"sample": sample_key})
+    recon, losses, stats, att_stats, comp_stats = vis_forward(
+        variables, vis_input, sample_key)
     logger.log_image(mode + "_input", make_grid(np.asarray(vis_input)),
                      iter_idx)
     logger.log_image(mode + "_recon", make_grid(np.asarray(recon)),
@@ -134,9 +147,7 @@ def visualise_outputs(model, state, vis_batch, logger, mode, iter_idx,
                              make_grid(np.asarray(val[k])), iter_idx)
     # Generation
     try:
-        out, gstats = model.apply(
-            variables, 8, rngs={"sample": sample_key},
-            method=model.sample)
+        out, gstats = vis_sample(variables, sample_key)
         logger.log_image("samples", make_grid(np.asarray(out)), iter_idx)
         for key in ("x_k", "log_m_k", "mx_k"):
             if key not in gstats:
@@ -182,12 +193,14 @@ def train(cfg) -> TrainState:
     # Data & model via the config-file contract
     train_loader, val_loader, test_loader = fet.load(cfg.data_config, cfg)
     model = fet.load(cfg.model_config, cfg)
-    num_elements = 3 * cfg.img_size ** 2  # three input channels assumed
 
     # Mesh + state
     mesh = make_mesh(model_parallel=cfg.get("model_parallel", 1))
     fprint(f"Mesh: {mesh.shape} over {len(jax.devices())} devices")
     example_batch = next(iter(train_loader))
+    # GECO goal scaling uses the true per-image element count (the
+    # reference's 3*H*W assumed 3 channels; input_channels is a flag).
+    num_elements = int(np.prod(example_batch["input"].shape[1:]))
     rng = jax.random.PRNGKey(cfg.get("seed", 0))
     state = create_train_state(model, cfg, example_batch, rng,
                                num_elements=num_elements)
@@ -209,6 +222,7 @@ def train(cfg) -> TrainState:
     train_step = step_lib.jit_train_step(step_lib.make_train_step(
         model, cfg))
     eval_step = jax.jit(step_lib.make_eval_step(model, cfg))
+    vis_fns = make_vis_fns(model)
 
     # ---- hot loop ----
     timer = time.time()
@@ -318,7 +332,8 @@ def train(cfg) -> TrainState:
             if iter_idx % cfg.log_images_every == 0:
                 visualise_outputs(model, state, vis_batch, logger,
                                   "train", iter_idx,
-                                  jax.random.PRNGKey(iter_idx))
+                                  jax.random.PRNGKey(iter_idx),
+                                  vis_fns=vis_fns)
                 fprint("Logged images to TensorBoard")
 
     # ---- final eval ----
@@ -339,7 +354,8 @@ def train(cfg) -> TrainState:
             fid_from_model(
                 model, state, test_loader,
                 batch_size=10 if not cfg.get("debug", False) else 2,
-                num_images=10000 if not cfg.get("debug", False) else 10,
+                num_images=(10 if cfg.get("debug", False)
+                            else cfg.get("num_fid_images", 10000)),
                 img_dir=osp.join("/tmp", run_dir.strip("/")))
         except NotImplementedError:
             fprint("Sampling not implemented for this model.")

@@ -1,0 +1,176 @@
+#!/usr/bin/env python
+"""Per-stage timing breakdown of the GENESIS-V2 train step on TPU.
+
+Times each jitted sub-stage (encoder UNet, IC-SBP attention, slot
+pooling+z_head, decoder, losses) plus forward-only / full train step, so
+perf work targets the actual top time sinks (SURVEY.md section 7.9,
+profile-driven pass). Optionally writes a jax.profiler trace.
+
+Usage: python scripts/perf_breakdown.py [--img 64 --k 9 --batch 32]
+       [--trace_dir /tmp/v2trace] [--pallas]
+"""
+
+import argparse
+import os
+import sys
+import time
+
+import numpy as np
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+
+def timed(fn, *args, steps=30, warmup=3):
+    import jax
+    for _ in range(warmup):
+        out = fn(*args)
+    jax.block_until_ready(out)
+    t0 = time.perf_counter()
+    for _ in range(steps):
+        out = fn(*args)
+    jax.block_until_ready(out)
+    return (time.perf_counter() - t0) / steps * 1e3  # ms
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--img", type=int, default=64)
+    ap.add_argument("--k", type=int, default=9)
+    ap.add_argument("--batch", type=int, default=32)
+    ap.add_argument("--trace_dir", default="")
+    ap.add_argument("--pallas", action="store_true")
+    ap.add_argument("--steps", type=int, default=30)
+    args = ap.parse_args()
+
+    from genesis_tpu.core.jax_setup import setup_jax
+    setup_jax()
+    import jax
+    import jax.numpy as jnp
+
+    from genesis_tpu.core.attrdict import AttrDict
+    from genesis_tpu.models import genesisv2_config
+    from genesis_tpu.train import step as step_lib
+    from genesis_tpu.train.state import create_train_state
+
+    cfg = AttrDict(
+        K_steps=args.k, img_size=args.img, feat_dim=64, pixel_bound=True,
+        pixel_std1=0.7, pixel_std2=0.7, montecarlo_kl=True,
+        comp_ldim=16, comp_enc_channels=32, comp_dec_channels=32,
+        comp_dec_layers=4, optimiser="adam", learning_rate=1e-4,
+        geco=True, g_goal=0.5655, g_lr=1e-5, g_alpha=0.99, g_init=1.0,
+        g_min=1e-10, g_speedup=10.0, batch_size=args.batch,
+        train_iter=500000, seed=0, pallas_icsbp=args.pallas)
+    model = genesisv2_config.load(cfg)
+    rs = np.random.RandomState(0)
+    x = jnp.asarray(rs.rand(args.batch, args.img, args.img, 3)
+                    .astype(np.float32))
+    batch = {"input": np.asarray(x)}
+    key = jax.random.PRNGKey(0)
+    state = create_train_state(model, cfg, batch, key)
+    variables = {"params": state.params}
+
+    def bind(fn):
+        return jax.jit(fn)
+
+    rows = {}
+
+    # Full train step
+    train_step = step_lib.jit_train_step(step_lib.make_train_step(
+        model, cfg))
+    # Deep-copy: train_step donates its input state, and `state`'s
+    # buffers are reused by the stage timings below.
+    s2 = jax.tree_util.tree_map(jnp.array, state)
+    for _ in range(3):
+        s2, m = train_step(s2, {"input": np.asarray(x)})
+    jax.block_until_ready(m)
+    t0 = time.perf_counter()
+    s2copy = s2
+    for _ in range(args.steps):
+        s2copy, m = train_step(s2copy, {"input": np.asarray(x)})
+    jax.block_until_ready(m)
+    rows["train_step(fwd+bwd+opt+geco)"] = (
+        (time.perf_counter() - t0) / args.steps * 1e3)
+
+    # Forward only
+    fwd = bind(lambda v, x, k: model.apply(v, x, True, rngs={"sample": k}))
+    rows["forward"] = timed(fwd, variables, x, key, steps=args.steps)
+
+    # Forward + backward (grad of the total loss, no optimiser)
+    def loss_fn(params, x, k):
+        _, losses, _, _, _ = model.apply(
+            {"params": params}, x, True, rngs={"sample": k})
+        kl = sum(jnp.mean(jnp.sum(v, axis=0)) if v.ndim == 2
+                 else jnp.mean(v) for kk, v in losses.items()
+                 if kk != "err")
+        return jnp.mean(losses["err"]) + kl
+    gfn = bind(jax.grad(loss_fn))
+    rows["forward+backward"] = timed(gfn, state.params, x, key,
+                                     steps=args.steps)
+
+    # Stages (forward)
+    enc = bind(lambda v, x: model.apply(
+        v, x, True, method=lambda m, x, t: jax.nn.relu(
+            m.encoder(x, t)[0])))
+    enc_feat = enc(variables, x)
+    rows["encoder_unet"] = timed(enc, variables, x, steps=args.steps)
+
+    seg = bind(lambda v, f: model.apply(
+        v, f, True, method=lambda m, f, t: m.seg_head(f, t)
+        .astype(jnp.float32)))
+    seg_feat = seg(variables, enc_feat)
+    rows["seg_head"] = timed(seg, variables, enc_feat, steps=args.steps)
+
+    att = bind(lambda v, f, k: model.apply(
+        v, f, True, rngs={"sample": k},
+        method=lambda m, f, t: m.att_process(f, m.K_steps - 1, t,
+                                             dynamic_K=m.dynamic_K)))
+    log_m_k, _, _ = att(variables, seg_feat, key)
+    rows["ic_sbp_attention"] = timed(att, variables, seg_feat, key,
+                                     steps=args.steps)
+
+    def pool_fn(m, enc_feat, log_m_k, t):
+        masks = jnp.exp(log_m_k)
+        feat = m.feat_head_out(m.feat_head_conv(enc_feat, t))
+        feat = feat.astype(jnp.float32)
+        obj_sum = jnp.einsum("kbhwi,bhwc->kbc", masks, feat)
+        mask_sum = jnp.sum(masks, axis=(2, 3, 4))
+        obj_feat = obj_sum / (mask_sum[..., None] + 1e-5)
+        return m.z_head(obj_feat)
+    pool = bind(lambda v, f, lm: model.apply(
+        v, f, lm, True, method=pool_fn))
+    zparams = pool(variables, enc_feat, log_m_k)
+    rows["pool+z_head"] = timed(pool, variables, enc_feat, log_m_k,
+                                steps=args.steps)
+
+    z_k = zparams[..., :model.feat_dim]
+    dec = bind(lambda v, z: model.apply(
+        v, z, True, method=lambda m, z, t: m.decode_latents(z, t)))
+    recon, x_r_k, log_m_r_k = dec(variables, z_k)
+    rows["decoder(K-folded)"] = timed(dec, variables, z_k,
+                                      steps=args.steps)
+
+    from genesis_tpu.ops import losses as L
+    xl = bind(lambda x, lm, xr: L.x_loss(x, lm, xr, 0.7))
+    rows["x_loss"] = timed(xl, x, log_m_r_k, x_r_k, steps=args.steps)
+
+    print(f"\n== GENESIS-V2 {args.img}px K{args.k} b{args.batch} "
+          f"pallas={args.pallas} ({jax.devices()[0].device_kind}) ==")
+    total_fwd = rows["forward"]
+    for name, ms in rows.items():
+        frac = ""
+        if name not in ("train_step(fwd+bwd+opt+geco)", "forward",
+                        "forward+backward"):
+            frac = f"  ({100 * ms / total_fwd:.0f}% of fwd)"
+        print(f"{name:32s} {ms:8.3f} ms{frac}")
+
+    if args.trace_dir:
+        with jax.profiler.trace(args.trace_dir):
+            s3 = s2copy  # the live (undonated) state from the timing loop
+            for _ in range(10):
+                s3, m = train_step(s3, {"input": np.asarray(x)})
+            jax.block_until_ready(m)
+        print(f"trace written to {args.trace_dir}")
+
+
+if __name__ == "__main__":
+    main()

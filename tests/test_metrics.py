@@ -113,3 +113,54 @@ def test_masks_to_segmentation():
     seg = M.masks_to_segmentation(log_m)
     assert seg.shape == (1, 2, 1)
     np.testing.assert_array_equal(np.asarray(seg), [[[0], [1]]])
+
+
+def _deepmind_ari(true_ids, pred_ids, n_true, n_pred):
+    """Numpy oracle of the DeepMind batched one-hot ARI
+    (third_party/multi_object_datasets/segmentation_metrics.py:20-92):
+    contingency N = true^T pred, rindex/aindex/bindex from sum n*(n-1),
+    ARI = (rindex - expected) / (max - expected)."""
+    B, n_points = true_ids.shape
+    oh_t = np.eye(n_true)[true_ids]               # [B, n, T]
+    oh_p = np.eye(n_pred)[pred_ids]               # [B, n, P]
+    N = np.einsum("bji,bjk->bik", oh_t, oh_p)     # [B, T, P]
+    a = N.sum(axis=2)
+    b = N.sum(axis=1)
+    rindex = (N * (N - 1)).sum(axis=(1, 2))
+    aindex = (a * (a - 1)).sum(axis=1)
+    bindex = (b * (b - 1)).sum(axis=1)
+    expected = aindex * bindex / (n_points * (n_points - 1))
+    max_r = 0.5 * (aindex + bindex)
+    return (rindex - expected) / (max_r - expected)
+
+
+def test_ari_matches_deepmind_onehot_formulation():
+    """Golden test vs the DeepMind TF ARI law (the one-hot contingency
+    formulation our einsum metric re-derives)."""
+    B, H, W = 6, 8, 8
+    gt = _random_seg(B, H, W, 4)
+    pred = _random_seg(B, H, W, 5)
+    ours = np.asarray(M.adjusted_rand_index(jnp.asarray(pred),
+                                            jnp.asarray(gt), 5))
+    oracle = _deepmind_ari(gt.reshape(B, -1), pred.reshape(B, -1), 4, 5)
+    np.testing.assert_allclose(ours, oracle, rtol=1e-5, atol=1e-6)
+
+
+def test_ari_fg_matches_deepmind_with_bg_excluded():
+    """FG-only ARI == DeepMind ARI computed over foreground points only
+    (the reference's ARI-FG protocol, utils/misc.py:108-110)."""
+    B, H, W = 4, 8, 8
+    gt = _random_seg(B, H, W, 4)
+    gt[:, :2, :] = 0  # guaranteed background region
+    pred = _random_seg(B, H, W, 5)
+    ours = np.asarray(M.adjusted_rand_index(
+        jnp.asarray(pred), jnp.asarray(gt), 5, fg_only=True))
+    # Per-element oracle on the fg point subset (variable length ->
+    # loop, which is exactly what the vectorised metric avoids).
+    for i in range(B):
+        fg = gt[i].reshape(-1) > 0
+        if fg.sum() < 2:
+            continue
+        o = _deepmind_ari(gt[i].reshape(1, -1)[:, fg],
+                          pred[i].reshape(1, -1)[:, fg], 4, 5)[0]
+        np.testing.assert_allclose(ours[i], o, rtol=1e-5, atol=1e-6)

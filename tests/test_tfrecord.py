@@ -133,3 +133,30 @@ def test_multi_object_config_split(tmp_path):
             assert not any(np.array_equal(ti, si) for si in tst_imgs)
     finally:
         cfgmod.load = orig
+
+
+def test_multi_object_loader_threaded_matches_sequential(tmp_path):
+    """num_workers>0 pipeline yields the same example multiset and batch
+    shapes as the sequential path (order may differ: decode is
+    concurrent, the shuffle buffer absorbs it)."""
+    from genesis_tpu.data import multi_object_config as moc
+    path, images, masks = _objects_room_fixture(tmp_path, n=12)
+    kw = dict(path=path, name="objects_room", variant="train", skip=0,
+              num_frames=12, background_entities=4, batch_size=4,
+              img_size=64, buffer_size=2, seed=0)
+    seq = list(moc.MultiObjectLoader(**kw))
+    thr = list(moc.MultiObjectLoader(num_workers=3, **kw))
+    assert len(thr) == len(seq) == 3
+    for b in thr:
+        assert b["input"].shape == (4, 64, 64, 3)
+        assert b["input"].dtype == np.uint8
+        assert b["instances"].shape == (4, 64, 64, 1)
+    # Same multiset of images across the epoch.
+    def key_set(batches):
+        return sorted(bytes(im.tobytes())
+                      for b in batches for im in b["input"])
+    assert key_set(thr) == key_set(seq)
+    # Two epochs from the threaded loader both yield everything.
+    thr_loader = moc.MultiObjectLoader(num_workers=2, **kw)
+    assert key_set(list(thr_loader)) == key_set(seq)
+    assert key_set(list(thr_loader)) == key_set(seq)

@@ -51,6 +51,8 @@ def main_flags():
     flags.DEFINE_float("learning_rate", 0.0001, "Learning rate.")
     flags.DEFINE_integer("N_eval", 10000,
                          "Number of samples to run evaluation on.")
+    flags.DEFINE_integer("num_fid_images", 10000,
+                         "Images for the end-of-training FID stage.")
     # Loss config (train.py:77-86)
     flags.DEFINE_float("beta", 0.5, "KL weighting.")
     flags.DEFINE_boolean("beta_warmup", False, "Warm up beta.")
