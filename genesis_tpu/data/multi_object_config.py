@@ -174,13 +174,16 @@ class MultiObjectLoader:
             img = _resize_nearest(img, self.img_size)
 
         # Instance labels: entity masks are uint8 {0,255}; background
-        # entities fold to label 0 (reference :189-196).
+        # entities fold to label 0 (reference :189-196). Vectorised
+        # "last entity wins" fold (== the reference's ascending
+        # overwrite loop), one pass instead of E boolean passes.
         raw = np.stack([e["mask"] for e in examples])   # [B,E,H,W]
-        labels = np.zeros((raw.shape[0], raw.shape[2], raw.shape[3]),
-                          np.int32)
-        for o_idx in range(self.background_entities, raw.shape[1]):
-            labels[raw[:, o_idx] == 255] = o_idx + 1
-        labels = labels[..., None].astype(np.float32)
+        be = self.background_entities
+        fg = raw[:, be:] == 255                          # [B,Ef,H,W]
+        n_fg = fg.shape[1]
+        last = n_fg - 1 - np.argmax(fg[:, ::-1], axis=1)  # [B,H,W]
+        labels = np.where(fg.any(axis=1), last + be + 1, 0) \
+            .astype(np.int32)[..., None]
         if h != w:
             labels = np_img_centre_crop(labels, CLEVR_CROP, batch=True)
         if self.img_size != labels.shape[1]:

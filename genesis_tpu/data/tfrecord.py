@@ -103,7 +103,9 @@ def _iter_records_native(lib, path: str, compression: Optional[str],
                 n = lib.gt_next(handle, buf, capacity)
             if n < 0:
                 raise IOError(f"Corrupt tfrecord stream: {path}")
-            yield buf.raw[:n]
+            # string_at copies exactly n bytes; buf.raw[:n] would
+            # materialise the whole capacity buffer per record.
+            yield ctypes.string_at(buf, n)
     finally:
         lib.gt_close(handle)
 
