@@ -10,11 +10,16 @@ from genesis_tpu.ops import blocks as B
 from genesis_tpu.ops import losses as L
 from genesis_tpu.ops.gc_vae import GatedConvVAE
 from genesis_tpu.ops.decoders import BroadcastDecoder
+from genesis_tpu.ops.flows import AmortisedPlanarFlow
 
 # GatedConvVAE
 flags.DEFINE_integer("latent_dimension", 64, "Latent channels.")
 flags.DEFINE_boolean("broadcast_decoder", False,
                      "Use broadcast decoder instead of deconv.")
+flags.DEFINE_integer("num_flows", 0,
+                     "Planar normalising-flow steps on the latent "
+                     "(0 = plain Gaussian posterior, the reference's "
+                     "live path).")
 # Losses
 flags.DEFINE_boolean("pixel_bound", True, "Bound pixel values to [0, 1].")
 flags.DEFINE_float("pixel_std", 0.7, "StdDev of reconstructed pixels.")
@@ -32,6 +37,7 @@ def load(cfg):
         broadcast_decoder=cfg.get("broadcast_decoder", False),
         input_channels=cfg.get("input_channels", 3),
         compute_dtype=cfg.get("compute_dtype", "bfloat16"),
+        num_flows=cfg.get("num_flows", 0),
     )
 
 
@@ -57,6 +63,7 @@ class BaselineVAE(nn.Module):
     broadcast_decoder: bool = False
     input_channels: int = 3
     compute_dtype: str = "bfloat16"
+    num_flows: int = 0
 
     K_steps = None
 
@@ -68,6 +75,8 @@ class BaselineVAE(nn.Module):
         if self.broadcast_decoder:
             self.px_nn = _BroadcastPx(self.ldim, self.img_size)
             self.px_mean = B.Conv(self.input_channels, 1)
+        if self.num_flows > 0:
+            self.flow = AmortisedPlanarFlow(self.ldim, self.num_flows)
 
     def _decode(self, z, train: bool = True):
         if self.broadcast_decoder:
@@ -77,22 +86,30 @@ class BaselineVAE(nn.Module):
     def __call__(self, x, train: bool = True):
         h, mean, var = self.vae.encode(x, train)
         key = self.make_rng("sample")
-        z, sigma = self.vae.reparameterize(mean, var, key)
+        z0, sigma = self.vae.reparameterize(mean, var, key)
+        if self.num_flows > 0:
+            # Flow KL (reference vae_config.py:80-86, dead code there as
+            # the vendored sylvester base VAE builds no flow layers;
+            # live here behind --num_flows): the decoder sees z_K and
+            # kl = log q(z_0) - log p(z_K) - sum_k log|det J_k|.
+            z, ldj = self.flow(h, z0)
+            kl = (jnp.sum(L.normal_log_prob(z0, mean, sigma)
+                          - L.std_normal_log_prob(z), axis=-1) - ldj)
+        else:
+            # No-flow path (the reference's only live branch): z_0 == z_K
+            # and ldj == 0 reduce the law above to the plain MC KL.
+            z, ldj = z0, None
+            kl = jnp.sum(L.normal_log_prob(z, mean, sigma)
+                         - L.std_normal_log_prob(z), axis=-1)
         recon = self._decode(z, train)
         if self.pixel_bound:
             recon = jax.nn.sigmoid(recon)
         err = -jnp.sum(L.normal_log_prob(x, recon, self.pixel_std),
                        axis=(1, 2, 3))
-        # KL branch parity note: the reference has a normalising-flow KL
-        # variant (vae_config.py:80-86, `log_det_j`/`z_0 != z_k`) that is
-        # DEAD CODE there — the vendored sylvester base VAE never enables
-        # flows (VAE.py builds no flow layers), so z_0 == z_k and
-        # log_det_j == 0 always, reducing exactly to this MC KL. Only the
-        # live no-flow path is implemented.
-        kl = jnp.sum(L.normal_log_prob(z, mean, sigma)
-                     - L.std_normal_log_prob(z), axis=-1)
         losses = AttrDict(err=err, kl_l=kl)
         stats = AttrDict(recon=recon, x=recon, mu=mean, sigma=sigma, z=z)
+        if self.num_flows > 0:
+            stats.update(mu_0=mean, sigma_0=sigma, z_0=z0, ldj=ldj)
         return recon, losses, stats, None, None
 
     def sample(self, batch_size: int, K_steps=None):
