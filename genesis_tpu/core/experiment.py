@@ -85,6 +85,13 @@ def import_config_module(path: str):
     return module
 
 
+def reset_module_cache() -> None:
+    """Clear the config-module cache. Pair with flags.reset() in tests:
+    a cached config module will not re-run its module-level DEFINE_*
+    calls, so flags registered at first import would stay lost."""
+    _module_cache.clear()
+
+
 def load(path: str, cfg, **kwargs):
     """Import a config file and call its `load(cfg)` factory."""
     module = import_config_module(path)

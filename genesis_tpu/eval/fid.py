@@ -118,6 +118,11 @@ def compute_statistics(batches: Iterable[np.ndarray], extractor,
             f = f[:max_images - count]
         feats.append(f)
         count += len(f)
+    if not feats:
+        raise ValueError(
+            "FID feature stream produced no batches — check that the "
+            "data split has at least `batch_size` images (a loader with "
+            "batch_size larger than the split yields nothing).")
     allf = np.concatenate(feats, axis=0).astype(np.float64)
     return allf.mean(axis=0), np.cov(allf, rowvar=False)
 
