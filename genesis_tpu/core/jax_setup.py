@@ -17,6 +17,14 @@ def setup_jax(compilation_cache: bool = True,
               platform: str = None) -> None:
     import jax
 
+    if platform is None:
+        # The container's sitecustomize registers the axon TPU plugin at
+        # interpreter start and the env default is JAX_PLATFORMS=axon; a
+        # user-exported JAX_PLATFORMS=cpu is NOT picked up by the live
+        # config on its own (the plugin registration wins), so honour it
+        # explicitly here — otherwise "CPU" CLI runs silently go over
+        # the TPU tunnel.
+        platform = os.environ.get("JAX_PLATFORMS") or None
     if platform:
         os.environ["JAX_PLATFORMS"] = platform
         jax.config.update("jax_platforms", platform)

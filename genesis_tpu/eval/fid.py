@@ -35,17 +35,22 @@ class InceptionExtractor:
     name = "inception"
     feat_dim = 2048
 
-    def __init__(self, weights: Optional[str] = None):
+    def __init__(self, weights: Optional[str] = None, variables=None):
         self.model = inception_lib.InceptionV3FID()
-        path = weights or inception_lib.weights_path()
-        template = self.model.init(
-            jax.random.PRNGKey(0), jnp.zeros((1, 64, 64, 3)))
-        if path is not None:
-            self.variables = inception_lib.load_params(path, template)
+        if variables is not None:
+            # Pre-ported variables (tests inject random-weight ports here
+            # for pipeline parity against the reference implementation).
+            self.variables = variables
         else:
-            raise FileNotFoundError(
-                "No FID Inception weights found (set "
-                f"${inception_lib.WEIGHTS_ENV})")
+            path = weights or inception_lib.weights_path()
+            template = self.model.init(
+                jax.random.PRNGKey(0), jnp.zeros((1, 64, 64, 3)))
+            if path is not None:
+                self.variables = inception_lib.load_params(path, template)
+            else:
+                raise FileNotFoundError(
+                    "No FID Inception weights found (set "
+                    f"${inception_lib.WEIGHTS_ENV})")
         self._fn = jax.jit(lambda v, x: self.model.apply(v, x))
 
     def __call__(self, images) -> jnp.ndarray:

@@ -77,6 +77,7 @@ def load(cfg):
         input_channels=cfg.get("input_channels", 3),
         compute_dtype=cfg.get("compute_dtype", "bfloat16"),
         scan_unroll=cfg.get("scan_unroll", 0),
+        debug=cfg.get("debug", False),
     )
 
 
@@ -130,6 +131,7 @@ class Genesis(nn.Module):
     input_channels: int = 3
     compute_dtype: str = "bfloat16"
     scan_unroll: int = 0
+    debug: bool = False
 
     def setup(self):
         assert self.K_steps > 1
@@ -268,6 +270,12 @@ class Genesis(nn.Module):
                 zl, comp_stats["mu_k"], comp_stats["sigma_k"],
                 cp_mu, cp_sigma)
 
+        if self.debug or not train:
+            # Reference genesis_config.py:267-269: mask-sum invariant on
+            # every forward under debug or eval.
+            from genesis_tpu.ops import debug_checks
+            debug_checks.check_log_masks(log_m_k, "log_m_k")
+
         stats = AttrDict(
             recon=recon, log_m_k=log_m_k, log_s_k=log_s_k, x_r_k=x_r_k,
             mx_r_k=x_r_k * jnp.exp(log_m_k))
@@ -309,6 +317,10 @@ class Genesis(nn.Module):
             x_k = x_flat.reshape((K, batch_size) + x_flat.shape[1:])
             if self.pixel_bound:
                 x_k = jax.nn.sigmoid(x_k)
+
+        # Reference genesis_config.py:385 checks unconditionally in sample.
+        from genesis_tpu.ops import debug_checks
+        debug_checks.check_log_masks(log_m_k, "sampled log_m_k")
 
         gen_image = jnp.sum(jnp.exp(log_m_k) * x_k, axis=0)
         stats = AttrDict(x_k=x_k, log_m_k=log_m_k, log_s_k=log_s_k,

@@ -21,7 +21,7 @@ from genesis_tpu.core import flags
 from genesis_tpu.core.attrdict import AttrDict
 from genesis_tpu.ops import blocks as B
 from genesis_tpu.ops import losses as L
-from genesis_tpu.ops.attention import InstanceColouringSBP
+from genesis_tpu.ops.attention import LOG_ZERO, InstanceColouringSBP
 from genesis_tpu.ops.losses import AutoregPrior
 from genesis_tpu.ops.unet import UNet
 
@@ -62,6 +62,7 @@ def load(cfg):
         kernel=cfg.get("kernel", "gaussian"),
         semiconv=cfg.get("semiconv", True),
         dynamic_K=cfg.get("dynamic_K", False),
+        dynamic_K_threshold=cfg.get("dynamic_K_threshold", 20.0),
         pallas_icsbp=cfg.get("pallas_icsbp", True),
         klm_loss=cfg.get("klm_loss", False),
         detach_mr_in_klm=cfg.get("detach_mr_in_klm", True),
@@ -71,6 +72,7 @@ def load(cfg):
         input_channels=cfg.get("input_channels", 3),
         compute_dtype=cfg.get("compute_dtype", "bfloat16"),
         scan_unroll=cfg.get("scan_unroll", 0),
+        debug=cfg.get("debug", False),
     )
 
 
@@ -81,6 +83,7 @@ class GenesisV2(nn.Module):
     kernel: str = "gaussian"
     semiconv: bool = True
     dynamic_K: bool = False
+    dynamic_K_threshold: float = 20.0
     pallas_icsbp: bool = True
     klm_loss: bool = False
     detach_mr_in_klm: bool = True
@@ -90,6 +93,7 @@ class GenesisV2(nn.Module):
     input_channels: int = 3
     compute_dtype: str = "bfloat16"
     scan_unroll: int = 0
+    debug: bool = False
 
     def setup(self):
         F = self.feat_dim
@@ -111,8 +115,10 @@ class GenesisV2(nn.Module):
             K_steps=self.K_steps,
             feat_dim=F,
             semiconv=self.semiconv,
+            dynamic_K_threshold=self.dynamic_K_threshold,
             use_pallas=self.pallas_icsbp,
-            scan_unroll=self.scan_unroll)
+            scan_unroll=self.scan_unroll,
+            debug=self.debug)
         self.seg_head = B.ConvGNReLU(nout=F, kernel=3, stride=1,
                                      padding=1, dtype=dt)
         self.feat_head_conv = B.ConvGNReLU(nout=F, kernel=3, stride=1,
@@ -138,6 +144,21 @@ class GenesisV2(nn.Module):
             self.prior = AutoregPrior(ldim=F, hidden=4 * F,
                           scan_unroll=self.scan_unroll)
 
+    @staticmethod
+    def tp_rules():
+        """Tensor-parallel sharding rules for the `model` mesh axis
+        (SURVEY.md section 2.3 TP row): output channels of the decoder
+        deconv stack, the z_head posterior Denses and the UNet MLP
+        bottleneck shard over `model`; GSPMD partitions the matmuls and
+        inserts the collectives. Applied by train.step.shard_state when
+        model_parallel > 1."""
+        from jax.sharding import PartitionSpec as P
+        return [
+            (r"dec_convs_\d+/kernel", P(None, None, None, "model")),
+            (r"z_head/layers_\d+/kernel", P(None, "model")),
+            (r"encoder/Dense_\d+/kernel", P(None, "model")),
+        ]
+
     # -- Decoder over K-folded batch ------------------------------------
     def _decoder_module(self, z, train: bool = True):
         x = self.dec_broadcast(z)
@@ -145,9 +166,11 @@ class GenesisV2(nn.Module):
             x = nn.relu(norm(conv(x)))
         return self.dec_head(x)
 
-    def decode_latents(self, z_k, train: bool = True):
+    def decode_latents(self, z_k, train: bool = True, live=None):
         """z_k: [K,B,F] -> (recon, x_r_k [K,B,H,W,C], log_m_r_k
-        [K,B,H,W,1]) (genesisv2_config.py:205-225)."""
+        [K,B,H,W,1]) (genesisv2_config.py:205-225). `live` [K,B] masks
+        dead dynamic_K slots out of the softmax recombination so the
+        reconstruction equals the reference's batch-1 truncated decode."""
         nin = self.input_channels
         K, bsz = z_k.shape[0], z_k.shape[1]
         dec = self._decoder_module(z_k.reshape(K * bsz, -1), train)
@@ -155,6 +178,9 @@ class GenesisV2(nn.Module):
         dec = dec.reshape((K, bsz) + dec.shape[1:])
         x_r_k = dec[..., :nin]
         m_r_logits_k = dec[..., nin:]
+        if live is not None:
+            m_r_logits_k = jnp.where(
+                live[:, :, None, None, None], m_r_logits_k, LOG_ZERO)
         if self.pixel_bound:
             x_r_k = jax.nn.sigmoid(x_r_k)
         log_m_r_k = L.get_mask_recon_stack(m_r_logits_k, "softmax",
@@ -174,6 +200,14 @@ class GenesisV2(nn.Module):
         log_m_k, log_s_k, att_stats = self.att_process(
             seg_feat, self.K_steps - 1, train,
             dynamic_K=self.dynamic_K)
+        # Slot liveness under dynamic_K: a dead (dropped) slot is all
+        # LOG_ZERO. Reference batch-1 semantics drop dead slots entirely
+        # (attention.py:218-219, genesisv2_config.py:118-137); we keep the
+        # static [K] shape but exclude dead slots from the decode softmax
+        # and the latent KL so losses match the batch-1 law exactly (the
+        # LSTM prior is causal, so truncation == masking for live slots).
+        live = (jnp.any(log_m_k > 0.5 * LOG_ZERO, axis=(2, 3, 4))
+                if self.dynamic_K else None)          # [K,B] bool
 
         # --- Object features, latents (vectorised slot pooling) ---
         masks = jnp.exp(log_m_k)                       # [K,B,H,W,1]
@@ -189,7 +223,8 @@ class GenesisV2(nn.Module):
         comp_stats = AttrDict(mu_k=mu, sigma_k=sigma, z_k=z_k)
 
         # --- Decode latents ---
-        recon, x_r_k, log_m_r_k = self.decode_latents(z_k, train)
+        recon, x_r_k, log_m_r_k = self.decode_latents(z_k, train,
+                                                      live=live)
 
         # --- Loss terms ---
         losses = AttrDict()
@@ -202,9 +237,18 @@ class GenesisV2(nn.Module):
             mu, sigma, z_k,
             prior=self.prior if (self.autoreg_prior and
                                  self.K_steps > 1) else None)
+        if live is not None:
+            kl_l_k = jnp.where(live, kl_l_k, 0.0)
         losses["kl_l_k"] = kl_l_k
         comp_stats["pmu_k"] = p_mu
         comp_stats["psigma_k"] = p_sigma
+
+        if self.debug:
+            # Reference genesisv2_config.py:191-196: per-forward mask-sum
+            # invariants under debug.
+            from genesis_tpu.ops import debug_checks
+            debug_checks.check_log_masks(log_m_k, "log_m_k")
+            debug_checks.check_log_masks(log_m_r_k, "log_m_r_k")
 
         stats = AttrDict(
             recon=recon, log_m_k=log_m_k, log_s_k=log_s_k, x_r_k=x_r_k,

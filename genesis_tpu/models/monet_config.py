@@ -52,6 +52,7 @@ def load(cfg):
         comp_dec_layers=cfg.comp_dec_layers,
         input_channels=cfg.get("input_channels", 3),
         compute_dtype=cfg.get("compute_dtype", "bfloat16"),
+        debug=cfg.get("debug", False),
     )
 
 
@@ -69,6 +70,7 @@ class MONet(nn.Module):
     comp_dec_layers: int = 4
     input_channels: int = 3
     compute_dtype: str = "bfloat16"
+    debug: bool = False
 
     def setup(self):
         dt = (jnp.bfloat16 if self.compute_dtype == "bfloat16" else None)
@@ -127,6 +129,13 @@ class MONet(nn.Module):
             comp_stats["z_k"], comp_stats["mu_k"], comp_stats["sigma_k"],
             jnp.zeros_like(comp_stats["z_k"]),
             jnp.ones_like(comp_stats["z_k"]))
+
+        if self.debug:
+            # Reference monet_config.py:122-126: mask-sum invariants on
+            # both stacks under debug.
+            from genesis_tpu.ops import debug_checks
+            debug_checks.check_log_masks(log_m_k, "log_m_k")
+            debug_checks.check_log_masks(log_m_r_k, "log_m_r_k")
 
         stats = AttrDict(
             recon=recon, log_m_k=log_m_k, log_s_k=log_s_k, x_r_k=x_r_k,

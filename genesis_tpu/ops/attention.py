@@ -200,6 +200,7 @@ class InstanceColouringSBP(nn.Module):
     dynamic_K_threshold: float = 20.0
     use_pallas: bool = True
     scan_unroll: int = 0  # 0 = full unroll (see _unroll)
+    debug: bool = False  # per-forward alpha-range invariant
 
     def setup(self):
         sigma_init = _kernel_sigma_init(self.kernel, self.K_steps)
@@ -249,8 +250,11 @@ class InstanceColouringSBP(nn.Module):
         same_res = (ch, cw) == (self.img_size, self.img_size)
         from genesis_tpu.ops.pallas import ic_sbp as icp
         on_tpu = jax.default_backend() == "tpu"
-        if self.use_pallas and on_tpu and same_res and icp.supported(
-                self.img_size, steps_to_run, self.colour_dim):
+        # Debug routes through the XLA path so the per-step alpha
+        # invariant is materialised and checkable.
+        if (self.use_pallas and not self.debug and on_tpu and same_res
+                and icp.supported(self.img_size, steps_to_run,
+                                  self.colour_dim)):
             log_m_full_, log_s_, seeds_ = icp.ic_sbp_rollout(
                 colour.astype(jnp.float32), rand_pixel[..., 0],
                 self.log_sigma, steps_to_run, self.kernel)
@@ -280,6 +284,11 @@ class InstanceColouringSBP(nn.Module):
                     colour_flat, rand_max[:, None, None],
                     axis=1)[:, 0]                                # [B,D]
                 alpha = mod._alpha(colour, seed)
+                if mod.debug:
+                    # Raw kernel response must sit in [0, 1] before the
+                    # clamp (reference attention.py:207-210).
+                    from genesis_tpu.ops import debug_checks
+                    debug_checks.check_alpha_range(alpha)
                 # Clamp to [0.01, 0.99] for numerical stability,
                 # straight-through grads (attention.py:211-213).
                 alpha = B.clamp_preserve_gradients(alpha, 0.01, 0.99)

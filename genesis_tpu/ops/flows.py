@@ -49,7 +49,10 @@ def planar_step(z: jnp.ndarray, u: jnp.ndarray, w: jnp.ndarray,
     z_new = z + u_hat * a
     psi = (1.0 - a ** 2) * w  # [B, D]
     det = 1.0 + jnp.sum(u_hat * psi, axis=-1)  # [B]
-    ldj = jnp.log(jnp.abs(det) + 1e-8)
+    # det > 0 is guaranteed by the u_hat correction; floor (not abs) so a
+    # regression there blows up training visibly instead of silently
+    # computing a wrong density from |det|.
+    ldj = jnp.log(jnp.maximum(det, 1e-8))
     return z_new, ldj
 
 

@@ -8,7 +8,8 @@ emitting the gradient `psum` over ICI.
 """
 
 from genesis_tpu.parallel.mesh import (
-    make_mesh, replicated, data_sharding, shard_batch, init_distributed)
+    make_mesh, replicated, data_sharding, shard_batch, shard_tree,
+    init_distributed)
 
 __all__ = ["make_mesh", "replicated", "data_sharding", "shard_batch",
-           "init_distributed"]
+           "shard_tree", "init_distributed"]

@@ -56,6 +56,54 @@ def replicated(mesh: Mesh) -> NamedSharding:
     return NamedSharding(mesh, P())
 
 
+def sharding_for_leaf(path_str: str, leaf, mesh: Mesh, rules):
+    """Resolve the NamedSharding for one state leaf.
+
+    rules: sequence of (path_regex, PartitionSpec). Key paths are
+    normalised to 'a/b/c' form before matching. The first rule whose
+    regex matches the leaf's key-path applies, PROVIDED the spec rank
+    equals the leaf rank and every sharded dim is divisible by its mesh
+    axis size; otherwise the leaf stays replicated. Optimiser moments
+    (adam mu/nu) carry the same key paths as their params, so one rule
+    set shards params and optimiser state consistently.
+    """
+    import re
+    path_str = re.sub(r"[\[\]'.]+", "/", path_str).strip("/")
+    for pattern, spec in rules:
+        if not re.search(pattern, path_str):
+            continue
+        if len(spec) != getattr(leaf, "ndim", 0):
+            continue
+        ok = True
+        for dim, axis in zip(leaf.shape, spec):
+            if axis is None:
+                continue
+            if dim % mesh.shape[axis] != 0:
+                ok = False
+                break
+        if ok:
+            return NamedSharding(mesh, spec)
+    return NamedSharding(mesh, P())
+
+
+def shard_tree(tree, mesh: Mesh, rules):
+    """device_put every leaf with its rule-resolved sharding (replicated
+    when no rule matches). This is the tensor-parallel entry point: with
+    kernels sharded over `model`, GSPMD partitions the matmuls/convs and
+    inserts the collectives (SURVEY.md section 2.3 TP row)."""
+    if not rules:
+        repl = replicated(mesh)
+        return jax.tree_util.tree_map(
+            lambda x: jax.device_put(x, repl), tree)
+
+    def put(path, leaf):
+        s = sharding_for_leaf(jax.tree_util.keystr(path), leaf, mesh,
+                              rules)
+        return jax.device_put(leaf, s)
+
+    return jax.tree_util.tree_map_with_path(put, tree)
+
+
 def data_sharding(mesh: Mesh, ndim: int = 4) -> NamedSharding:
     """Shard the leading (batch) dim over the data axis."""
     spec = [DATA_AXIS] + [None] * (ndim - 1)

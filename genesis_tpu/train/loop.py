@@ -218,7 +218,13 @@ def train(cfg) -> TrainState:
         iter_idx = int(state.step)
     fprint(f"Starting training at iter = {iter_idx}")
 
-    state = step_lib.replicate_state(state, mesh)
+    tp_rules = (model.tp_rules()
+                if (mesh.shape.get("model", 1) > 1
+                    and hasattr(model, "tp_rules")) else None)
+    if tp_rules:
+        fprint(f"Tensor parallel: {len(tp_rules)} sharding rules over "
+               f"model axis of size {mesh.shape['model']}")
+    state = step_lib.shard_state(state, mesh, tp_rules)
     train_step = step_lib.jit_train_step(step_lib.make_train_step(
         model, cfg))
     eval_step = jax.jit(step_lib.make_eval_step(model, cfg))

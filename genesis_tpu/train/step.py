@@ -191,3 +191,13 @@ def replicate_state(state: TrainState, mesh) -> TrainState:
     repl = mesh_lib.replicated(mesh)
     return jax.tree_util.tree_map(
         lambda x: jax.device_put(x, repl), state)
+
+
+def shard_state(state: TrainState, mesh, rules=None) -> TrainState:
+    """Place the train state on the mesh: tensor-parallel leaves sharded
+    per `rules` (see parallel.mesh.shard_tree — matching adam moments
+    shard with their params), everything else replicated. rules=None is
+    plain DP (replicated)."""
+    if not rules:
+        return replicate_state(state, mesh)
+    return mesh_lib.shard_tree(state, mesh, rules)

@@ -82,7 +82,10 @@ def main():
             pred = M.masks_to_segmentation(stats[mode])
             out["ari_fg" + suffix] = M.adjusted_rand_index(
                 pred, gt, stats[mode].shape[0], fg_only=True)
-            _, msc_fg = M.segmentation_covering(
+            # Reference CLI reports the MEAN covering variant — the first
+            # return of average_segcover (compute_seg_metrics.py:117,
+            # utils/misc.py:224-235) — not the area-scaled second return.
+            msc_fg, _ = M.segmentation_covering(
                 gt, pred, stats[mode].shape[0], ignore_background=True)
             out["msc_fg" + suffix] = msc_fg
         return out

@@ -115,6 +115,34 @@ def test_compute_seg_metrics_cli(trained_run, monkeypatch, capsys):
     assert logs
 
 
+def test_seg_metrics_cli_reports_mean_msc_variant(trained_run, monkeypatch,
+                                                  capsys):
+    """The CLI must report the MEAN covering (first return of
+    segmentation_covering), matching reference compute_seg_metrics.py:117
+    + utils/misc.py:224-235 — not the area-scaled second return."""
+    import jax.numpy as jnp
+
+    from genesis_tpu.eval import metrics as M
+    real = M.segmentation_covering
+
+    def marked(gt, pred, num_pred, **kw):
+        mean_sc, scaled_sc = real(gt, pred, num_pred, **kw)
+        return (jnp.full_like(mean_sc, 0.25),
+                jnp.full_like(scaled_sc, 0.75))
+
+    monkeypatch.setattr(M, "segmentation_covering", marked)
+    _run_cli(monkeypatch, "scripts.compute_seg_metrics", [
+        "compute_seg_metrics.py",
+        "--data_config", DATA_CFG, "--model_config", MODEL_CFG,
+        "--model_dir", trained_run, "--split", "test",
+        "--batch_size", "2", "--num_images", "4"])
+    out = capsys.readouterr().out
+    msc_lines = [ln for ln in out.splitlines() if "msc" in ln]
+    assert msc_lines, out
+    assert all("0.2500" in ln for ln in msc_lines), \
+        f"scaled variant leaked into the CLI output: {msc_lines}"
+
+
 def test_compute_fid_cli(trained_run, monkeypatch, tmp_path, capsys):
     _run_cli(monkeypatch, "scripts.compute_fid", [
         "compute_fid.py",

@@ -43,6 +43,17 @@ def test_planar_step_invertibility_bound():
     b = jnp.zeros(B)
     _, ldj = planar_step(z, u, w, b)
     assert np.all(np.isfinite(np.asarray(ldj)))
+    # The guarantee is det = 1 + u_hat.psi > 0, not just finiteness;
+    # recompute det via the exact Jacobian to catch a sign regression
+    # in the u_hat correction (planar_step's log would mask it only if
+    # it used |det|, which it deliberately does not).
+    def single(zi, ui, wi, bi):
+        out, _ = planar_step(zi[None], ui[None], wi[None], bi[None])
+        return out[0]
+
+    for i in range(0, B, 8):
+        jac = jax.jacfwd(single)(z[i], u[i], w[i], b[i])
+        assert np.linalg.det(np.asarray(jac)) > 0
 
 
 def test_zero_flows_is_identity():

@@ -5,6 +5,7 @@ re-derived from genesis_config.py:273-343, monet_config.py:135-170)."""
 import jax
 import jax.numpy as jnp
 import numpy as np
+import pytest
 import torch
 from torch.distributions.normal import Normal
 from torch.distributions.categorical import Categorical
@@ -114,6 +115,7 @@ def _reference_geco_torch(goal, step_size, alpha, beta_init, beta_min,
     return losses, betas
 
 
+@pytest.mark.quick
 def test_geco_matches_reference_law():
     goal, lr, alpha, b0, bmin, speedup = 80.0, 1e-2, 0.9, 1.0, 1e-10, 10.0
     errs = [120.0, 100.0, 70.0, 60.0, 90.0]

@@ -14,6 +14,7 @@ def _random_seg(B, H, W, k):
     return RS.randint(0, k, size=(B, H, W)).astype(np.int32)
 
 
+@pytest.mark.quick
 @pytest.mark.parametrize("fg_only", [False, True])
 def test_ari_matches_sklearn(fg_only):
     B, H, W = 4, 8, 8
@@ -82,6 +83,7 @@ def _reference_msc_numpy(segA, segB, ignore_background=False):
     return mean_sc, scaled_sc
 
 
+@pytest.mark.quick
 @pytest.mark.parametrize("ignore_background", [False, True])
 def test_msc_matches_reference_law(ignore_background):
     B, H, W = 3, 10, 10

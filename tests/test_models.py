@@ -120,6 +120,7 @@ def test_genesis_comp_symmetric():
     _check_contract(x, out, K=3)
 
 
+@pytest.mark.quick
 @pytest.mark.parametrize("dynamic_K", [False, True])
 def test_genesisv2(dynamic_K):
     from genesis_tpu.models import genesisv2_config

@@ -50,6 +50,7 @@ def v2_setup():
     return cfg, model, batch, state
 
 
+@pytest.mark.quick
 def test_train_step_descends(v2_setup):
     cfg, model, batch, state = v2_setup
     train_step = jax.jit(step_lib.make_train_step(model, cfg))
