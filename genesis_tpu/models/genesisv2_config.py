@@ -34,7 +34,7 @@ flags.DEFINE_boolean("semiconv", True, "Use semi-convolutional embeddings.")
 flags.DEFINE_boolean("dynamic_K", False, "Dynamic K.")
 flags.DEFINE_boolean("pallas_icsbp", True,
                      "Run IC-SBP as the fused Pallas kernel (TPU only; "
-                     "auto-falls back above 64px / non-lane-aligned).")
+                     "auto-falls back above 128px / non-lane-aligned).")
 # Auxiliary mask consistency loss
 flags.DEFINE_boolean("klm_loss", False, "KL mask regulariser.")
 flags.DEFINE_boolean("detach_mr_in_klm", True,

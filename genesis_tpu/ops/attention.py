@@ -186,10 +186,12 @@ class InstanceColouringSBP(nn.Module):
     the K-step rollout runs as one fused Pallas kernel
     (ops/pallas/ic_sbp.py) with a fixed-seed K-parallel VJP; gradients
     are identical. Measured on v5e (full V2 train step, b32): +2.7%
-    throughput at 64px/K9 (11.50 vs 11.81 ms/step); above 64px the
-    (S+1)-deep VMEM blocks exceed budget and `supported()` routes to the
-    stock XLA path. Engages on the TPU backend only — interpret mode is
-    for the direct kernel-parity tests, not the model path.
+    throughput at 64px/K9 (11.50 vs 11.81 ms/step). Above 64px the
+    (S+1)-deep VMEM blocks exceed budget, so a step-grid variant streams
+    each step's rows to HBM (extends the kernel to 128px); above that
+    `supported()` routes to the stock XLA path. Engages on the TPU
+    backend only — interpret mode is for the direct kernel-parity
+    tests, not the model path.
     """
     img_size: int
     kernel: str = "gaussian"

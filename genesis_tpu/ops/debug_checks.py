@@ -19,8 +19,15 @@ def _callbacks_supported() -> bool:
     """The axon PJRT plugin (single-chip TPU tunnel) implements no host
     send/recv, so jax.debug.callback programs fail to compile there.
     Checks become no-ops on that backend; the trainer's loop-level eval
-    check (train/loop.py) still covers it from the host side."""
-    return jax.default_backend() != "axon"
+    check (train/loop.py) still covers it from the host side.
+
+    The plugin registers as platform "tpu" (default_backend() == "tpu"),
+    so identify it via the client's platform_version string."""
+    try:
+        client = jax.devices()[0].client
+    except Exception:
+        return True
+    return "axon" not in getattr(client, "platform_version", "")
 
 
 def _raise_log_masks(max_diff, has_nan, name, tol):

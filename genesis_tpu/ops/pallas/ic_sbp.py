@@ -86,42 +86,146 @@ def _ic_sbp_kernel(colour_ref, rand_ref, sigma_ref,
     log_m_ref[steps] = scope_scratch[...]
 
 
+def _ic_sbp_step_kernel(colour_ref, rand_ref, sigma_ref,
+                        log_m_ref, log_s_ref,
+                        scope_scratch,
+                        *, steps: int, kernel: str):
+    """Step-grid variant for large pixel counts (128px+).
+
+    One program per (batch-chunk, slot-step): the colour field, random
+    field and running scope stay VMEM-resident across the step grid
+    (scratch persists between sequential grid iterations; the colour
+    block's index map ignores the step so Mosaic keeps it in place),
+    while each step's log_m / log_s rows stream straight to HBM — VMEM
+    holds 2 output rows instead of the 2*(S+1)-deep stack that blocks
+    the resident kernel above 64px.
+
+    Block shapes: colour [D, Bc, P]; rand [Bc, P]; log_m/log_s blocks
+    [1, Bc, P] at step index k.
+    """
+    k = pl.program_id(1)
+    D = colour_ref.shape[0]
+    Bc, P = rand_ref.shape
+    sigma = sigma_ref[0, 0]
+    pix_ids = jax.lax.broadcasted_iota(jnp.int32, (Bc, P), 1)
+
+    @pl.when(k == 0)
+    def _():
+        scope_scratch[...] = jnp.zeros((Bc, P), jnp.float32)
+
+    log_s = scope_scratch[...]
+    # log_s[k] = scope before step k (the final program k == steps only
+    # writes the last scope and the scope-valued last mask).
+    log_s_ref[0] = log_s
+
+    @pl.when(k < steps)
+    def _():
+        probs = rand_ref[...] * jnp.exp(log_s)
+        pmax = jnp.max(probs, axis=1, keepdims=True)
+        idx = jnp.min(jnp.where(probs == pmax, pix_ids,
+                                jnp.int32(2 ** 30)),
+                      axis=1, keepdims=True)
+        onehot = (pix_ids == idx).astype(jnp.float32)
+        dist = jnp.zeros((Bc, P), jnp.float32)
+        for d in range(D):
+            cd = colour_ref[d]
+            seed_d = jnp.sum(cd * onehot, axis=1, keepdims=True)
+            diff = cd - seed_d
+            dist = dist + diff * diff
+        if kernel == "laplacian":
+            dist2 = jnp.sqrt(jnp.clip(dist, 1e-10, 1e10))
+            alpha = jnp.exp(-dist2 / sigma)
+        elif kernel == "gaussian":
+            alpha = jnp.exp(-dist / sigma)
+        else:  # epanechnikov
+            alpha = jnp.maximum(1.0 - dist / sigma, 0.0)
+        alpha = jnp.clip(alpha, CLAMP_LO, CLAMP_HI)
+        log_m_ref[0] = log_s + jnp.log(alpha)
+        scope_scratch[...] = log_s + jnp.log1p(-alpha)
+
+    @pl.when(k == steps)
+    def _():
+        log_m_ref[0] = log_s
+
+
+def _resident_bytes(chunk: int, P: int, D: int, steps: int) -> int:
+    return 4 * chunk * P * (D + 1 + 2 * (steps + 1) + 1)
+
+
+def _streamed_bytes(chunk: int, P: int, D: int) -> int:
+    # colour + rand + scope scratch + 2 streamed out rows (+ double
+    # buffering margin on the out rows).
+    return 4 * chunk * P * (D + 1 + 1 + 4)
+
+
+_VMEM_BUDGET = 8 * 1024 * 1024
+
+
 def _pick_chunk(B: int, P: int, D: int, steps: int) -> int:
-    """Largest batch chunk keeping the kernel's VMEM residency under
+    """Largest batch chunk keeping the resident kernel's VMEM under
     ~8MB (colour + rand + outputs + scratch, all f32)."""
-    budget = 8 * 1024 * 1024
     for chunk in (B, 16, 8):
         if B % chunk != 0 or chunk % 8 != 0:
             continue
-        bytes_needed = 4 * chunk * P * (D + 1 + 2 * (steps + 1) + 1)
-        if bytes_needed <= budget:
+        if _resident_bytes(chunk, P, D, steps) <= _VMEM_BUDGET:
             return chunk
     return 8 if B % 8 == 0 else B
 
 
 def _pallas_forward(colour_t, rand, sigma, steps: int, kernel: str):
     """colour_t: [D, B, P] f32; rand: [B, P] f32; sigma: [1, 1] f32.
-    Returns (log_m [S+1,B,P], log_s [S+1,B,P])."""
+    Returns (log_m [S+1,B,P], log_s [S+1,B,P]).
+
+    Dispatch: the fully-resident kernel when the (S+1)-deep output stack
+    fits VMEM (<=64px), otherwise the step-grid kernel that streams each
+    step's rows to HBM (extends Pallas IC-SBP to 128px)."""
     D, B, P = colour_t.shape
-    Bc = _pick_chunk(B, P, D, steps)
     out_shapes = (
         jax.ShapeDtypeStruct((steps + 1, B, P), jnp.float32),
         jax.ShapeDtypeStruct((steps + 1, B, P), jnp.float32),
     )
-    kern = functools.partial(_ic_sbp_kernel, steps=steps, kernel=kernel)
     interpret = jax.default_backend() != "tpu"
+
+    Bc = _pick_chunk(B, P, D, steps)
+    if _resident_bytes(Bc, P, D, steps) <= _VMEM_BUDGET:
+        kern = functools.partial(_ic_sbp_kernel, steps=steps,
+                                 kernel=kernel)
+        return pl.pallas_call(
+            kern,
+            grid=(B // Bc,),
+            in_specs=[
+                pl.BlockSpec((D, Bc, P), lambda b: (0, b, 0)),
+                pl.BlockSpec((Bc, P), lambda b: (b, 0)),
+                pl.BlockSpec((1, 1), lambda b: (0, 0),
+                             memory_space=pltpu.SMEM),
+            ],
+            out_specs=(
+                pl.BlockSpec((steps + 1, Bc, P), lambda b: (0, b, 0)),
+                pl.BlockSpec((steps + 1, Bc, P), lambda b: (0, b, 0)),
+            ),
+            out_shape=out_shapes,
+            scratch_shapes=[pltpu.VMEM((Bc, P), jnp.float32)],
+            interpret=interpret,
+        )(colour_t, rand, sigma)
+
+    # Step-grid: grid (batch chunk, step); step is the fast axis so the
+    # scope scratch carries across steps of one batch chunk and the
+    # colour/rand blocks stay put between consecutive programs.
+    Bc = 8 if B % 8 == 0 else B
+    kern = functools.partial(_ic_sbp_step_kernel, steps=steps,
+                             kernel=kernel)
     return pl.pallas_call(
         kern,
-        grid=(B // Bc,),
+        grid=(B // Bc, steps + 1),
         in_specs=[
-            pl.BlockSpec((D, Bc, P), lambda b: (0, b, 0)),
-            pl.BlockSpec((Bc, P), lambda b: (b, 0)),
-            pl.BlockSpec((1, 1), lambda b: (0, 0),
+            pl.BlockSpec((D, Bc, P), lambda b, k: (0, b, 0)),
+            pl.BlockSpec((Bc, P), lambda b, k: (b, 0)),
+            pl.BlockSpec((1, 1), lambda b, k: (0, 0),
                          memory_space=pltpu.SMEM),
         ],
         out_specs=(
-            pl.BlockSpec((steps + 1, Bc, P), lambda b: (0, b, 0)),
-            pl.BlockSpec((steps + 1, Bc, P), lambda b: (0, b, 0)),
+            pl.BlockSpec((1, Bc, P), lambda b, k: (k, b, 0)),
+            pl.BlockSpec((1, Bc, P), lambda b, k: (k, b, 0)),
         ),
         out_shape=out_shapes,
         scratch_shapes=[pltpu.VMEM((Bc, P), jnp.float32)],
@@ -252,10 +356,11 @@ ic_sbp_rollout.defvjp(_ic_sbp_fwd, _ic_sbp_bwd)
 
 def supported(img_size: int, steps: int = 10, colour_dim: int = 8) -> bool:
     """Lane-aligned pixel count AND the minimum batch chunk (8 sublanes)
-    must fit the VMEM budget — at 128px+ the resident (S+1)-deep output
-    blocks exceed VMEM and the stock XLA path is used instead."""
+    must fit VMEM for at least one kernel layout: the fully-resident
+    rollout (<=64px) or the step-grid streaming variant (128px)."""
     P = img_size * img_size
     if P % LANE != 0:
         return False
-    bytes_needed = 4 * 8 * P * (colour_dim + 1 + 2 * (steps + 1) + 1)
-    return bytes_needed <= 8 * 1024 * 1024
+    if _resident_bytes(8, P, colour_dim, steps) <= _VMEM_BUDGET:
+        return True
+    return _streamed_bytes(8, P, colour_dim) <= _VMEM_BUDGET
