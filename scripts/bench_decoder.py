@@ -2,10 +2,12 @@
 """Micro-benchmark of the GENESIS-V2 decoder stack on TPU.
 
 The deconv decoder is ~58% of the 128px/K11 forward (VERDICT r2); this
-times its pieces in isolation to target kernel work: full stack, convT
-layers alone, GN+ReLU overhead, each layer, and the fused Pallas deconv
-when available. Shapes follow decode_latents' K-folded batch
-(reference models/genesisv2_config.py:205-225).
+times its pieces in isolation to target kernel work. Timing harness:
+the repetition loop runs INSIDE one jit as a lax.fori_loop with a
+feedback perturbation (z += eps*mean(out)), so each iteration truly
+executes and the per-call tunnel dispatch floor cancels out — repeated
+dispatch of identical argument buffers is served from a cache on this
+host and times ~0.02 ms/call, which is not a measurement.
 
 Usage: python scripts/bench_decoder.py [--img 128 --k 11 --batch 32]
 """
@@ -21,16 +23,34 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(
     __file__))))
 
 
-def timed(fn, *args, steps=50, warmup=5):
+def chain_timer(f, x0, steps):
+    """ms per f() execution, measured as a chained fori_loop inside one
+    jit (subtracting a shorter run to cancel constant overhead)."""
     import jax
-    for _ in range(warmup):
-        out = fn(*args)
-    jax.block_until_ready(out)
-    t0 = time.perf_counter()
-    for _ in range(steps):
-        out = fn(*args)
-    jax.block_until_ready(out)
-    return (time.perf_counter() - t0) / steps * 1e3
+    import jax.numpy as jnp
+
+    def run(n):
+        @jax.jit
+        def chained(x):
+            def body(i, x):
+                # Full-sum feedback: every output element feeds the
+                # carry, so XLA cannot dead-code-eliminate any part of
+                # f (a single-element feedback lets it slice the conv).
+                out = f(x)
+                fb = jnp.sum(out.astype(jnp.float32)).astype(x.dtype)
+                return x + jnp.float32(1e-20).astype(x.dtype) * fb
+            return jax.lax.fori_loop(0, n, body, x)
+
+        out = chained(x0)
+        jax.block_until_ready(out)  # compile + warm
+        t0 = time.perf_counter()
+        out = chained(x0)
+        jax.block_until_ready(out)
+        return time.perf_counter() - t0
+
+    n_hi, n_lo = steps, max(steps // 5, 1)
+    t_hi, t_lo = run(n_hi), run(n_lo)
+    return (t_hi - t_lo) / (n_hi - n_lo) * 1e3
 
 
 def main():
@@ -58,13 +78,12 @@ def main():
 
     class Dec(nn.Module):
         use_gn: bool = True
-        layers: int = 4
 
         @nn.compact
         def __call__(self, z):
             x = B.BroadcastLayer(args.img // 16)(z)
             c = [F, F, min(F, 64), min(F, 64)]
-            for i in range(self.layers):
+            for i in range(4):
                 x = B.ConvT(c[i], 5, 2, "SAME", dtype=dt)(x)
                 if self.use_gn:
                     x = nn.GroupNorm(num_groups=8, epsilon=1e-5,
@@ -77,24 +96,19 @@ def main():
     for name, mod in (("full(convT+GN+relu)x4+head", Dec(True)),
                       ("convT+relu only (no GN)", Dec(False))):
         v = mod.init(key, z)
-        f = jax.jit(lambda v, z, m=mod: m.apply(v, z))
-        out = f(v, z)
-        rows[name] = timed(f, v, z, steps=args.steps)
+        rows[name] = chain_timer(lambda x, m=mod, v=v: m.apply(v, x),
+                                 z, args.steps)
 
     # Individual convT layers at their true in/out shapes.
     sizes = [args.img // 16, args.img // 8, args.img // 4, args.img // 2]
     cins = [F + 2, F, F, min(F, 64)]
     couts = [F, F, min(F, 64), min(F, 64)]
     for i, (s, ci, co) in enumerate(zip(sizes, cins, couts)):
-        x = jax.random.normal(key, (KB, s, s, ci),
-                              dt or jnp.float32)
+        x = jax.random.normal(key, (KB, s, s, ci), dt or jnp.float32)
         conv = B.ConvT(co, 5, 2, "SAME", dtype=dt)
         v = conv.init(key, x)
-        f = jax.jit(lambda v, x, c=conv: c.apply(v, x))
-        f(v, x)
-        ms = timed(f, v, x, steps=args.steps)
-        # FLOPs counting all 25 taps (what the MXU computes if zeros are
-        # not skipped) and the zero-skipped count (XLA's cost model).
+        ms = chain_timer(lambda x, c=conv, v=v: c.apply(v, x), x,
+                         args.steps)
         outpix = KB * (2 * s) * (2 * s)
         fl_full = 2 * outpix * co * ci * 25
         fl_skip = fl_full / 4
@@ -102,14 +116,12 @@ def main():
             ms, fl_full / ms / 1e9, fl_skip / ms / 1e9)
 
     # GroupNorm+relu alone at the biggest activation.
-    xbig = jax.random.normal(key, (KB, args.img, args.img,
-                                   min(F, 64)), dt or jnp.float32)
+    xbig = jax.random.normal(key, (KB, args.img, args.img, min(F, 64)),
+                             dt or jnp.float32)
     gn = nn.GroupNorm(num_groups=8, epsilon=1e-5, dtype=dt)
     vgn = gn.init(key, xbig)
-    fgn = jax.jit(lambda v, x: nn.relu(gn.apply(v, x)))
-    fgn(vgn, xbig)
-    rows[f"GN+relu at {args.img}px"] = timed(fgn, vgn, xbig,
-                                             steps=args.steps)
+    rows[f"GN+relu at {args.img}px"] = chain_timer(
+        lambda x: nn.relu(gn.apply(vgn, x)), xbig, args.steps)
 
     print(f"\n== decoder micro-bench {args.img}px K{args.k} "
           f"b{args.batch} {args.dtype} "
@@ -124,5 +136,79 @@ def main():
             print(f"{name:42s} {val:8.3f} ms")
 
 
+def bwd_bench(img=128, k=11, batch=32, feat=64, steps=40):
+    """fwd+bwd timings: full decoder and the last convT layer."""
+    from genesis_tpu.core.jax_setup import setup_jax
+    setup_jax()
+    import jax
+    import jax.numpy as jnp
+    from flax import linen as nn
+
+    from genesis_tpu.ops import blocks as B
+
+    dt = jnp.bfloat16
+    F = feat
+    KB = k * batch
+    key = jax.random.PRNGKey(0)
+
+    class Dec(nn.Module):
+        @nn.compact
+        def __call__(self, z):
+            x = B.BroadcastLayer(img // 16)(z)
+            c = [F, F, min(F, 64), min(F, 64)]
+            for i in range(4):
+                x = B.ConvT(c[i], 5, 2, "SAME", dtype=dt)(x)
+                x = nn.GroupNorm(num_groups=8, epsilon=1e-5, dtype=dt)(x)
+                x = nn.relu(x)
+            return B.Conv(4, 1)(x)
+
+    mod = Dec()
+    z = jax.random.normal(key, (KB, F))
+    v = mod.init(key, z)
+
+    def loss(v, z):
+        return jnp.sum(mod.apply(v, z).astype(jnp.float32))
+
+    g = jax.grad(loss, argnums=(0, 1))
+
+    def fwdbwd(z):
+        gv, gz = g(v, z)
+        # scalar feedback from all grads
+        s = sum(jnp.sum(x.astype(jnp.float32))
+                for x in jax.tree_util.tree_leaves(gv)) + jnp.sum(gz)
+        return s[None]
+
+    ms = chain_timer(lambda zz: fwdbwd(zz), z, steps)
+    print(f"decoder fwd+bwd: {ms:.3f} ms")
+
+    # single L4 convT fwd+bwd
+    s4, ci, co = img // 2, min(F, 64), min(F, 64)
+    x = jax.random.normal(key, (KB, s4, s4, ci), dt)
+    conv = B.ConvT(co, 5, 2, "SAME", dtype=dt)
+    vc = conv.init(key, x)
+
+    def loss4(vc, x):
+        return jnp.sum(conv.apply(vc, x).astype(jnp.float32))
+    g4 = jax.grad(loss4, argnums=(0, 1))
+
+    def fb4(x):
+        gv, gx = g4(vc, x)
+        s = sum(jnp.sum(t.astype(jnp.float32))
+                for t in jax.tree_util.tree_leaves(gv)) + \
+            jnp.sum(gx.astype(jnp.float32))
+        return s[None]
+
+    ms4 = chain_timer(fb4, x, steps)
+    # bwd-input conv flops (dense) + bwd-weight + fwd zero-skipped
+    outpix = KB * img * img
+    fl = 2 * outpix * co * ci * 25 / 4 * 3  # ~3x fwd minimal
+    print(f"convT L4 fwd+bwd: {ms4:.3f} ms  "
+          f"({fl / ms4 / 1e9:.1f} TF/s at 3x-minimal count)")
+
+
 if __name__ == "__main__":
-    main()
+    if "--bwd" in sys.argv:
+        sys.argv.remove("--bwd")
+        bwd_bench()
+    else:
+        main()
