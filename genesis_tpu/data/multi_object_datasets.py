@@ -107,13 +107,19 @@ def make_decoder(name: str, variant: Optional[str] = None,
     """
     spec, byte_feats, transpose = _get_spec(name, variant)
 
+    # Exact byte sizes from the fixed feature specs: one native scan
+    # per field instead of a size query + copy pair.
+    nbytes = {k: int(np.prod(f.shape)) for k, f in spec.items()
+              if f.dtype == "string" and k in byte_feats}
+
     def decode(record: bytes) -> Dict[str, np.ndarray]:
         example: Dict[str, np.ndarray] = {}
         if fields is not None:
             for key in fields:
                 feat = spec[key]
                 if feat.dtype == "string" and key in byte_feats:
-                    arr = tfr.extract_bytes(record, key)
+                    arr = tfr.extract_bytes(record, key,
+                                            size_hint=nbytes[key])
                     example[key] = _reshape_byte_feature(arr, feat)
                 elif feat.dtype == "float32":
                     example[key] = tfr.extract_floats(

@@ -307,11 +307,28 @@ def parse_example(record: bytes) -> Dict[str, Union[List[bytes],
 # Fast per-feature extraction (native when available)
 # ---------------------------------------------------------------------------
 
-def extract_bytes(record: bytes, key: str) -> Optional[np.ndarray]:
-    """Concatenated BytesList payload as a uint8 array (decode_raw)."""
+def extract_bytes(record: bytes, key: str,
+                  size_hint: int = 0) -> Optional[np.ndarray]:
+    """Concatenated BytesList payload as a uint8 array (decode_raw).
+
+    `size_hint` (exact expected byte count, e.g. from a fixed feature
+    spec) collapses the size-query + copy pair into ONE native scan —
+    the per-record hot path for the dataset loaders."""
     lib = _native_lib()
     if lib is not None:
         import ctypes
+        if size_hint > 0:
+            out = np.empty(size_hint, np.uint8)
+            n = lib.gt_extract(record, len(record), key.encode(), 1,
+                               out.ctypes.data_as(ctypes.c_void_p),
+                               size_hint)
+            if n == size_hint:
+                return out
+            if n >= 0:
+                return out[:n]
+            if n == -1:
+                return None
+            # fall through: buffer was short (-2 - required)
         n = lib.gt_extract(record, len(record), key.encode(), 1, None, 0)
         if n < 0:
             return None
