@@ -115,7 +115,7 @@ class MultiObjectLoader:
 
         def reader():
             try:
-                it = tfr.iter_records(self.path, compression="GZIP",
+                it = tfr.iter_records(self.path, compression="auto",
                                       skip=self.skip)
                 for i, record in enumerate(it):
                     if i >= self.num_frames:

@@ -153,6 +153,6 @@ def dataset(tfrecords_path: str, name: str,
     from the wire bytes (the hot path decodes only image+mask).
     """
     decode = make_decoder(name, variant, fields)
-    for record in tfr.iter_records(tfrecords_path, compression="GZIP",
+    for record in tfr.iter_records(tfrecords_path, compression="auto",
                                    skip=skip):
         yield decode(record)

@@ -65,6 +65,23 @@ def masked_crc32c(data: bytes) -> int:
 # Record-level IO
 # ---------------------------------------------------------------------------
 
+def detect_compression(path: str) -> Optional[str]:
+    """"GZIP" if the file starts with the gzip magic, else None.
+
+    Lets callers pass compression="auto": the DeepMind releases are
+    GZIP, but uncompressed tfrecords decode ~2x faster on this
+    single-core host (inflate is the residual per-record cost), so the
+    loaders accept either transparently."""
+    with open(path, "rb") as f:
+        magic = f.read(2)
+    return "GZIP" if magic == b"\x1f\x8b" else None
+
+
+def _resolve(path: str, compression: Optional[str]) -> Optional[str]:
+    return detect_compression(path) if compression == "auto" \
+        else compression
+
+
 def _open(path: str, compression: Optional[str]):
     if compression == "GZIP":
         return gzip.open(path, "rb")
@@ -113,7 +130,9 @@ def _iter_records_native(lib, path: str, compression: Optional[str],
 def iter_records(path: str, compression: Optional[str] = None,
                  verify_crc: bool = False,
                  skip: int = 0) -> Iterator[bytes]:
-    """Yield raw record payloads (native C++ fast path when built)."""
+    """Yield raw record payloads (native C++ fast path when built).
+    compression: None | "GZIP" | "auto" (magic-byte detection)."""
+    compression = _resolve(path, compression)
     lib = _native_lib()
     if lib is not None:
         yield from _iter_records_native(lib, path, compression,
@@ -166,6 +185,7 @@ def write_records(path: str, records: Sequence[bytes],
 def count_records(path: str, compression: Optional[str] = None) -> int:
     """Number of records in a tfrecord file (reference utils/misc.py:
     31-41 len_tfrecords, without a TF session)."""
+    compression = _resolve(path, compression)
     lib = _native_lib()
     if lib is not None:
         handle = lib.gt_open(path.encode(),

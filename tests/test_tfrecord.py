@@ -74,6 +74,29 @@ def _objects_room_fixture(tmp_path, n=8, entities=7):
     return path, images, masks
 
 
+def test_uncompressed_tfrecords_auto_detected(tmp_path):
+    """compression="auto" reads plain (non-GZIP) tfrecord files via
+    magic-byte detection — uncompressed files skip the inflate cost."""
+    rs = np.random.RandomState(1)
+    img = rs.randint(0, 255, (64, 64, 3), np.uint8)
+    mask = np.zeros((7, 64, 64, 1), np.uint8)
+    mask[0] = 255
+    rec = tfr.make_example({"image": img.tobytes(),
+                            "mask": mask.tobytes()})
+    path = str(tmp_path / "plain.tfrecords")
+    tfr.write_records(path, [rec], compression=None)
+    assert tfr.detect_compression(path) is None
+    out = list(mods.dataset(path, "objects_room", "train"))
+    assert len(out) == 1
+    np.testing.assert_array_equal(out[0]["image"], img)
+    assert tfr.count_records(path, compression="auto") == 1
+
+    gz = str(tmp_path / "gz.tfrecords")
+    tfr.write_records(gz, [rec], compression="GZIP")
+    assert tfr.detect_compression(gz) == "GZIP"
+    assert tfr.count_records(gz, compression="auto") == 1
+
+
 def test_objects_room_reader(tmp_path):
     path, images, masks = _objects_room_fixture(tmp_path)
     out = list(mods.dataset(path, "objects_room", "train"))
