@@ -36,11 +36,17 @@ def init_distributed() -> bool:
 
 
 def make_mesh(devices: Optional[Sequence] = None,
-              model_parallel: int = 1) -> Mesh:
+              model_parallel: int = 1,
+              batch_size: Optional[int] = None) -> Mesh:
     """Build a (data, model) mesh over the given (default: all) devices.
 
     The device order is kept as enumerated by JAX, which on TPU follows the
     physical torus order so the `data` all-reduce rides ICI rings.
+
+    When `batch_size` is given and does not divide the data-axis size, the
+    data axis is clamped to the largest batch divisor that fits, using a
+    device subset — so e.g. a `--debug` run (batch 2) works unchanged on an
+    8-chip host instead of failing GSPMD's divisibility check.
     """
     if devices is None:
         devices = jax.devices()
@@ -48,7 +54,13 @@ def make_mesh(devices: Optional[Sequence] = None,
     if n % model_parallel != 0:
         raise ValueError(
             f"{n} devices not divisible by model_parallel={model_parallel}")
-    grid = np.asarray(devices).reshape(n // model_parallel, model_parallel)
+    n_data = n // model_parallel
+    if batch_size is not None and batch_size % n_data != 0:
+        n_data = min(n_data, batch_size)
+        while batch_size % n_data:
+            n_data -= 1
+    grid = np.asarray(
+        devices[:n_data * model_parallel]).reshape(n_data, model_parallel)
     return Mesh(grid, (DATA_AXIS, MODEL_AXIS))
 
 

@@ -195,7 +195,8 @@ def train(cfg) -> TrainState:
     model = fet.load(cfg.model_config, cfg)
 
     # Mesh + state
-    mesh = make_mesh(model_parallel=cfg.get("model_parallel", 1))
+    mesh = make_mesh(model_parallel=cfg.get("model_parallel", 1),
+                     batch_size=cfg.batch_size)
     fprint(f"Mesh: {mesh.shape} over {len(jax.devices())} devices")
     example_batch = next(iter(train_loader))
     # GECO goal scaling uses the true per-image element count (the

@@ -18,6 +18,22 @@ def test_make_mesh_shapes():
         assert dict(m2.shape) == {"data": len(devices) // 2, "model": 2}
 
 
+def test_make_mesh_batch_clamp():
+    """Data axis clamps to the largest batch divisor that fits, so small
+    (e.g. --debug batch-2) runs work on many-device hosts."""
+    devices = jax.devices()
+    n = len(devices)
+    m = mesh_lib.make_mesh(devices, batch_size=2)
+    assert dict(m.shape)["data"] == (2 if n >= 2 else 1)
+    # Divisible batches keep the full device complement.
+    m = mesh_lib.make_mesh(devices, batch_size=4 * n)
+    assert dict(m.shape)["data"] == n
+    if n >= 4:
+        # batch 6 on 8 devices -> 6-device data axis (subset), not gcd=2
+        m = mesh_lib.make_mesh(devices[:4], batch_size=3)
+        assert dict(m.shape)["data"] == 3
+
+
 def test_make_mesh_indivisible_raises():
     devices = jax.devices()
     with pytest.raises(ValueError, match="not divisible"):
