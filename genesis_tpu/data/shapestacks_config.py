@@ -27,6 +27,10 @@ flags.DEFINE_boolean("shuffle_test", False, "Shuffle test set.")
 flags.DEFINE_integer("num_workers", 4, "Data loading threads.")
 flags.DEFINE_boolean("load_instances", True, "Load instances.")
 flags.DEFINE_boolean("copy_to_tmp", False, "Copy files to /tmp.")
+flags.DEFINE_boolean("cache_images", False,
+                     "Cache decoded frames in RAM: the first epoch pays "
+                     "the PNG decode, later epochs serve from memory "
+                     "(~28 KB/frame at 64px).")
 flags.DEFINE_integer("K_steps", 9, "Number of recurrent steps.")
 
 MAX_SHAPES = 6
@@ -80,10 +84,14 @@ class ShapeStacksDataset(MapDataset):
 
     def __init__(self, data_dir: str, split_name: str, mode: str,
                  img_size: int = 224, load_instances: bool = True,
-                 shuffle_files: bool = False, seed: int = 0):
+                 shuffle_files: bool = False, seed: int = 0,
+                 cache: bool = False):
         self.data_dir = data_dir
         self.img_size = img_size
         self.load_instances = load_instances
+        # Benign-race dict cache (GIL-atomic get/set; a duplicate decode
+        # under num_workers threads just overwrites with equal data).
+        self._cache = {} if cache else None
         split_dir = osp.join(data_dir, "splits", split_name)
         filenames, self.stability_labels = get_filenames_with_labels(
             mode, data_dir, split_dir)
@@ -96,6 +104,10 @@ class ShapeStacksDataset(MapDataset):
 
     def _load_one(self, file: str):
         from PIL import Image
+        if self._cache is not None:
+            hit = self._cache.get(file)
+            if hit is not None:
+                return hit
         img = Image.open(file).convert("RGB")
         # CenterCrop(196) then Resize(img_size) with PIL bilinear
         # (torchvision transform defaults, shapestacks_config.py:126-130)
@@ -119,6 +131,8 @@ class ShapeStacksDataset(MapDataset):
                       (masks.shape[0] / self.img_size)).astype(np.int64)
                 masks = masks[ys][:, ys]
             out["instances"] = masks[..., None].astype(np.int32)
+        if self._cache is not None:
+            self._cache[file] = out
         return out
 
     def _fetch(self, files):
@@ -147,7 +161,8 @@ def load(cfg, **unused_kwargs):
     seed = cfg.get("seed", 0)
     mk = lambda mode, shuffle_files=False: ShapeStacksDataset(
         cfg.data_folder, cfg.split_name, mode, cfg.img_size,
-        cfg.get("load_instances", True), shuffle_files, seed)
+        cfg.get("load_instances", True), shuffle_files, seed,
+        cache=cfg.get("cache_images", False))
     tng_loader = DataLoader(mk("train"), cfg.batch_size, shuffle=True,
                             seed=seed)
     val_loader = DataLoader(mk("eval"), cfg.batch_size, shuffle=True,

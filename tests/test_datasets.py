@@ -132,6 +132,67 @@ def test_shapestacks_loader(tmp_path):
     assert set(ds.stability_labels) <= {0.0, 1.0}
 
 
+def test_shapestacks_cache_serves_identical_batches(tmp_path):
+    """cache_images=True must decode once and then serve byte-identical
+    data from RAM (no re-decode: PIL.Image.open is counted)."""
+    from genesis_tpu.data import shapestacks_config as ss
+    import PIL.Image
+    root = _shapestacks_fixture(tmp_path)
+    ds = ss.ShapeStacksDataset(root, "default", "train", 64,
+                               load_instances=True, cache=True)
+    idx = np.arange(2)
+    first = ds.get_batch(idx)
+    n_open = [0]
+    real_open = PIL.Image.open
+
+    def counting_open(*a, **k):
+        n_open[0] += 1
+        return real_open(*a, **k)
+
+    PIL.Image.open = counting_open
+    try:
+        second = ds.get_batch(idx)
+    finally:
+        PIL.Image.open = real_open
+    assert n_open[0] == 0
+    np.testing.assert_array_equal(first["input"], second["input"])
+    np.testing.assert_array_equal(first["instances"],
+                                  second["instances"])
+
+
+def test_generate_shapestacks_feeds_loader(tmp_path):
+    """The at-scale synthetic generator writes the exact layout the
+    loader consumes; blocks carry non-background labels."""
+    import importlib.util as ilu
+    spec = ilu.spec_from_file_location(
+        "gen_ss", osp.join(osp.dirname(osp.dirname(__file__)),
+                           "scripts", "generate_shapestacks.py"))
+    gen = ilu.module_from_spec(spec)
+    spec.loader.exec_module(gen)
+    out = str(tmp_path / "ss-synth")
+    import sys
+    argv = sys.argv
+    sys.argv = ["x", "--out", out, "--train", "2", "--eval", "1",
+                "--test", "1", "--cams", "2"]
+    try:
+        gen.main()
+    finally:
+        sys.argv = argv
+    from genesis_tpu.data import shapestacks_config as ss
+    cfg = AttrDict(data_folder=out, split_name="default", img_size=64,
+                   shuffle_test=False, num_workers=0, load_instances=True,
+                   copy_to_tmp=False, K_steps=9, batch_size=4, debug=True,
+                   seed=0, cache_images=True)
+    tng, _, _ = ss.load(cfg)
+    batch = next(iter(tng))
+    assert batch["input"].shape == (4, 64, 64, 3)
+    inst = batch["instances"]
+    assert inst.max() >= 1 and inst.max() <= gen.MAX_H
+    # Foreground exists but does not swamp the frame.
+    fg = (inst > 0).mean()
+    assert 0.01 < fg < 0.6
+
+
 # --- Sketchy / APC -------------------------------------------------------
 
 def test_sketchy_loader(tmp_path):
