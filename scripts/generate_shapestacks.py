@@ -46,6 +46,34 @@ def _hsv_rgb(h, s, v):
     return np.array(rgb, np.float32)
 
 
+def _texture(rs, h, w, kind=None):
+    """Multiplicative texture field in [1-a, 1+a] — stripes, checker or
+    smooth noise. Keeps reconstruction genuinely hard so the GECO err
+    constraint stays binding (real ShapeStacks frames are visually
+    rich; flat-colour renders saturate err early and trigger premature
+    beta ramp)."""
+    if kind is None:
+        kind = rs.randint(0, 3)
+    ys = np.arange(h, dtype=np.float32)[:, None]
+    xs = np.arange(w, dtype=np.float32)[None, :]
+    if kind == 0:      # diagonal stripes
+        f = rs.uniform(0.15, 0.9)
+        ang = rs.uniform(0, np.pi)
+        field = np.sin((np.cos(ang) * xs + np.sin(ang) * ys) * f)
+    elif kind == 1:    # checker
+        p = rs.randint(4, 14)
+        field = (((ys // p) + (xs // p)) % 2) * 2.0 - 1.0
+    else:              # smooth low-freq noise
+        gh, gw = max(2, h // 16), max(2, w // 16)
+        g = rs.randn(gh, gw)
+        iy = (ys * (gh - 1) / max(1, h - 1)).astype(np.int64)
+        ix = (xs * (gw - 1) / max(1, w - 1)).astype(np.int64)
+        field = g[iy[:, 0]][:, ix[0]]
+        field /= max(1e-6, np.abs(field).max())
+    amp = rs.uniform(0.06, 0.18)
+    return 1.0 + amp * field[..., None]
+
+
 def render_scene(rs, n_blocks, cam):
     """One camera view: (rgb uint8 [S,S,3], labels uint8 [S,S])."""
     img = np.zeros((SIZE, SIZE, 3), np.float32)
@@ -61,10 +89,16 @@ def render_scene(rs, n_blocks, cam):
     floor = _hsv_rgb(rs.uniform(0.05, 0.13), rs.uniform(0.25, 0.55),
                      rs.uniform(0.45, 0.7))
     shade = np.linspace(1.0, 0.75, SIZE - floor_y)[:, None, None]
-    img[floor_y:] = floor * shade
-    # Cheap floor texture so the background VAE has something to model.
-    tex = 0.03 * np.sin(np.arange(SIZE, dtype=np.float32) / 3.1)
-    img[floor_y:] += tex[None, :, None]
+    img[floor_y:] = floor * shade * _texture(rs, SIZE - floor_y, SIZE)
+    # Wall clutter: a few distant background rectangles (stay label 0).
+    for _ in range(rs.randint(2, 6)):
+        bw = rs.randint(10, 50)
+        bh = rs.randint(8, 30)
+        bx, by = rs.randint(0, SIZE - bw), rs.randint(0, max(1, floor_y - bh))
+        col = _hsv_rgb(rs.uniform(0, 1), rs.uniform(0.1, 0.4),
+                       rs.uniform(0.5, 0.9))
+        img[by:by + bh, bx:bx + bw] = (
+            0.5 * img[by:by + bh, bx:bx + bw] + 0.5 * col)
 
     # Camera: horizontal offset + slight zoom per view index.
     cam_dx = int((cam / 7.0 - 0.5) * 0.28 * SIZE)
@@ -87,7 +121,7 @@ def render_scene(rs, n_blocks, cam):
             continue
         col = _hsv_rgb(hues[k], rs.uniform(0.6, 0.95),
                        rs.uniform(0.55, 0.9))
-        img[top:bot, l:r] = col                       # front face
+        img[top:bot, l:r] = col * _texture(rs, bot - top, r - l)  # front
         d = max(2, w // 8)                            # 3D hint: top/side
         t2 = max(0, top - d)
         img[t2:top, min(l + d, SIZE):min(r + d, SIZE)] = col * 1.25
