@@ -148,3 +148,27 @@ def infinite(loader) -> Iterator:
     train.py:215-216)."""
     while True:
         yield from loader
+
+
+def materialize_inputs(loader,
+                       max_bytes: int = 8 << 30) -> Optional[np.ndarray]:
+    """One epoch through `loader`, stacking the "input" field into a
+    single host array — the staging step of the device-resident dataset
+    path (`--device_dataset`): the array is device_put once and batches
+    are gathered by index ON device, so the per-step host->device
+    traffic shrinks to a [B] int32 index array.
+
+    Returns None when the split exceeds `max_bytes` (caller falls back
+    to the streaming loader) or the loader yields nothing.
+    """
+    chunks = []
+    total = 0
+    for batch in loader:
+        x = batch["input"]
+        total += x.nbytes
+        if total > max_bytes:
+            return None
+        chunks.append(np.ascontiguousarray(x))
+    if not chunks:
+        return None
+    return np.concatenate(chunks, axis=0)

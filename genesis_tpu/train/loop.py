@@ -11,6 +11,7 @@ Differences from the reference that are deliberate TPU design choices:
 
 import sys
 import time
+from functools import partial
 from typing import Dict, Optional
 
 import jax
@@ -231,14 +232,58 @@ def train(cfg) -> TrainState:
     eval_step = jax.jit(step_lib.make_eval_step(model, cfg))
     vis_fns = make_vis_fns(model)
 
+    # ---- optional device-resident train split ----
+    # TPU-native path for splits that fit in HBM: the whole train set is
+    # device_put once and each step gathers its batch by index on
+    # device, so per-step host->device traffic is a [B] int32 array.
+    # (The streaming path overlaps transfers via device_prefetch, but a
+    # host-side copy per step remains; this removes it entirely.)
+    from genesis_tpu.parallel.mesh import (device_prefetch, data_sharding,
+                                           replicated)
+    use_devdata = bool(cfg.get("device_dataset", False))
+    step_call = train_step
+    if use_devdata:
+        from genesis_tpu.data.loader import materialize_inputs
+        host_buf = materialize_inputs(train_loader)
+        if host_buf is None:
+            fprint("device_dataset: train split exceeds the HBM budget "
+                   "or is empty — using the streaming loader path.")
+            use_devdata = False
+    if use_devdata:
+        n_frames = host_buf.shape[0]
+        dev_buf = jax.device_put(host_buf, replicated(mesh))
+        del host_buf
+        fprint(f"device_dataset: {n_frames} frames "
+               f"({dev_buf.nbytes / 1e6:.0f} MB) resident on device")
+        batch_sharding = data_sharding(mesh, ndim=dev_buf.ndim)
+        raw_step = step_lib.make_train_step(model, cfg)
+
+        @partial(jax.jit, donate_argnums=(0,))
+        def _gather_step(state, buf, idx):
+            x = jnp.take(buf, idx, axis=0)
+            x = jax.lax.with_sharding_constraint(x, batch_sharding)
+            return raw_step(state, {"input": x})
+
+        step_call = lambda s, idx: _gather_step(s, dev_buf, idx)
+        idx_rng = np.random.RandomState(cfg.get("seed", 0) + 1)
+        n_per_epoch = n_frames // cfg.batch_size
+
+        def index_stream():
+            order = idx_rng.permutation(n_frames).astype(np.int32)
+            for s in range(0, n_per_epoch * cfg.batch_size,
+                           cfg.batch_size):
+                yield order[s:s + cfg.batch_size]
+
     # ---- hot loop ----
     timer = time.time()
     metrics = None
     vis_batch = example_batch
-    from genesis_tpu.parallel.mesh import device_prefetch
     while iter_idx <= cfg.train_iter:
-        device_batches = device_prefetch(
-            ({"input": b["input"]} for b in train_loader), mesh)
+        if use_devdata:
+            device_batches = index_stream()
+        else:
+            device_batches = device_prefetch(
+                ({"input": b["input"]} for b in train_loader), mesh)
         for batch_idx, device_batch in enumerate(device_batches):
             if iter_idx > cfg.train_iter:
                 break
@@ -248,7 +293,7 @@ def train(cfg) -> TrainState:
             if profile_dir and iter_idx == 10:
                 jax.block_until_ready(metrics)
                 jax.profiler.start_trace(profile_dir)
-            state, metrics = train_step(state, device_batch)
+            state, metrics = step_call(state, device_batch)
             if profile_dir and iter_idx == 20:
                 jax.block_until_ready(metrics)
                 jax.profiler.stop_trace()

@@ -116,3 +116,30 @@ def test_divergence_exit(tmp_path, monkeypatch):
     template = create_train_state(model, cfg, batch, jax.random.PRNGKey(0))
     restored = ckpt_lib.restore_checkpoint(diverged, template)
     assert int(restored.step) >= 1
+
+
+def test_device_dataset_mode(tmp_path):
+    """--device_dataset stages the train split on device and trains by
+    on-device index gather; losses must stay finite, checkpoints/scalars
+    must be produced, and the run must complete the same step count as
+    the streaming path."""
+    cfg = loop_cfg(tmp_path, run_name="devdata", device_dataset=True,
+                   train_iter=6)
+    state = loop_lib.train(cfg)
+    assert int(state.step) >= 6
+    run_dir = osp.join(str(tmp_path), "devdata", "1")
+    rows = _scalars(run_dir)
+    assert rows, "no train scalars logged"
+    assert all(np.isfinite(r["elbo"]) for r in rows)
+    assert osp.exists(osp.join(run_dir, "model.ckpt-latest"))
+
+
+def test_device_dataset_fallback_on_oversized_split(tmp_path, monkeypatch):
+    """Splits beyond the HBM budget fall back to the streaming loader."""
+    from genesis_tpu.data import loader as loader_lib
+    monkeypatch.setattr(
+        loader_lib, "materialize_inputs", lambda l, **k: None)
+    cfg = loop_cfg(tmp_path, run_name="devdata_fb", device_dataset=True,
+                   train_iter=2)
+    state = loop_lib.train(cfg)
+    assert int(state.step) >= 2

@@ -66,6 +66,11 @@ def main_flags():
     # Other (train.py:87-91)
     flags.DEFINE_integer("model_parallel", 1,
                          "Model-parallel mesh axis size.")
+    flags.DEFINE_boolean("device_dataset", False,
+                         "Keep the whole train split resident in device "
+                         "memory and gather batches by index on device "
+                         "(splits that fit in HBM; removes the per-step "
+                         "host->device batch transfer).")
     flags.DEFINE_boolean("debug", False, "Debug flag.")
     flags.DEFINE_boolean("debug_nans", False,
                          "Enable jax_debug_nans NaN detection.")
