@@ -97,7 +97,7 @@ class GQNLoader:
     def __init__(self, data_folder: str, dataset: str, mode: str,
                  img_size: int, val_frac: int, batch_size: int,
                  buffer_size: int = 128, seed: int = 0,
-                 num_frames: int = None):
+                 num_frames: int = None, all_frames: bool = False):
         info = DATASETS[dataset]
         self.info = info
         self.files = get_dataset_files(info, mode, val_frac, data_folder)
@@ -106,6 +106,12 @@ class GQNLoader:
         self.batch_size = batch_size
         self.buffer_size = buffer_size * batch_size
         self._rng = np.random.RandomState(seed)
+        # all_frames yields every view of every record instead of one
+        # random view — the staging mode for the device-resident dataset
+        # path, where the on-device per-epoch index shuffle reproduces
+        # the reference's random-frame-per-visit sampling
+        # (gqn_tfr_provider.py:393-399) over the full view set.
+        self.all_frames = all_frames
         if num_frames is None:
             if dataset == "rooms_ring_camera":
                 train_sz, test_sz = TRAIN_FRAMES, TEST_FRAMES
@@ -137,8 +143,12 @@ class GQNLoader:
         seq = self.info.sequence_size
         for record in self._records():
             jpegs = tfr.bytes_values(record, "frames")
-            idx = self._rng.randint(seq)
-            yield _decode_jpeg(jpegs[idx])
+            if self.all_frames:
+                for data in jpegs:
+                    yield _decode_jpeg(data)
+            else:
+                idx = self._rng.randint(seq)
+                yield _decode_jpeg(jpegs[idx])
 
     def _shuffled(self):
         if "train" not in self.mode:
@@ -177,7 +187,9 @@ def load(cfg, **unused_kwargs):
                   buffer_size=cfg.get("buffer_size", 128),
                   seed=cfg.get("seed", 0))
     train_loader = GQNLoader(mode="devel_train",
-                             batch_size=cfg.batch_size, **common)
+                             batch_size=cfg.batch_size,
+                             all_frames=cfg.get("device_dataset", False),
+                             **common)
     val_loader = GQNLoader(mode="devel_val",
                            batch_size=cfg.batch_size, **common)
     test_loader = GQNLoader(mode="test", batch_size=1, **common)

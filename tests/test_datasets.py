@@ -81,6 +81,15 @@ def test_gqn_loader(tmp_path):
     assert len(files_train) == (2160 // 60) * 59
     assert len(files_val) == 2160 - len(files_train)
     assert not set(files_train) & set(files_val)
+    # all_frames (device-dataset staging) yields every view: seq x the
+    # per-record count, so 24 records x 10 views / batch 4 = 60 batches.
+    loader_all = gqn.GQNLoader(
+        data_folder=root, dataset="rooms_ring_camera_debug",
+        mode="train", img_size=64, val_frac=2, batch_size=4,
+        buffer_size=2, seed=0, num_frames=240, all_frames=True)
+    batches_all = list(loader_all)
+    assert len(batches_all) == 60
+    assert batches_all[0]["input"].shape == (4, 64, 64, 3)
 
 
 # --- ShapeStacks ---------------------------------------------------------
