@@ -306,3 +306,69 @@ def test_generate_gqn_feeds_loader(tmp_path):
     # column-wise variance of a room image is far below iid noise).
     x = b["input"].astype(np.float32) / 255.0
     assert float(np.var(np.diff(x, axis=1))) < 0.05
+
+
+def test_generate_apc_feeds_preprocess_and_loader(tmp_path):
+    """The synthetic APC generator writes the raw `training/` layout;
+    `apc_config.preprocess` (the real resize+crop path) then feeds the
+    loader with images AND instance masks."""
+    import importlib.util as ilu
+    spec = ilu.spec_from_file_location(
+        "gen_apc", osp.join(osp.dirname(osp.dirname(__file__)),
+                            "scripts", "generate_apc.py"))
+    gen = ilu.module_from_spec(spec)
+    spec.loader.exec_module(gen)
+    out = str(tmp_path / "apc-synth")
+    argv = sys.argv
+    sys.argv = ["x", "--out", out, "--scenes", "12",
+                "--frames_per_scene", "2"]
+    try:
+        gen.main()
+    finally:
+        sys.argv = argv
+    from genesis_tpu.data import apc_config as apc
+    apc.preprocess(out, 128)
+    cfg = AttrDict(data_folder=out, img_size=128, batch_size=2,
+                   num_workers=0, K_steps=10, debug=True, seed=0)
+    tng, val, tst = apc.load(cfg)
+    b = next(iter(tng))
+    assert b["input"].shape == (2, 128, 128, 3)
+    assert b["instances"].shape == (2, 128, 128, 1)
+    # Instance ids survive the nearest-neighbour mask resize.
+    assert int(b["instances"].max()) >= 1
+    x = b["input"].astype(np.float32) / 255.0
+    assert float(np.var(np.diff(x, axis=1))) < 0.05
+
+
+def test_generate_sketchy_episodes_feed_preparation(tmp_path):
+    """The synthetic episode generator writes records the REAL
+    sketchy_preparation pipeline slices into the processed layout the
+    loader consumes (2 cams x [full + 6 crops] per frame)."""
+    import importlib.util as ilu
+    spec = ilu.spec_from_file_location(
+        "gen_sk", osp.join(osp.dirname(osp.dirname(__file__)),
+                           "scripts", "generate_sketchy_episodes.py"))
+    gen = ilu.module_from_spec(spec)
+    spec.loader.exec_module(gen)
+    out = str(tmp_path / "sk-synth")
+    argv = sys.argv
+    sys.argv = ["x", "--out", out, "--episodes", "10",
+                "--frames_per_episode", "1"]
+    try:
+        gen.main()
+    finally:
+        sys.argv = argv
+    subprocess.run(
+        [sys.executable, osp.join(REPO, "scripts",
+                                  "sketchy_preparation.py"),
+         "--data_folder", out, "--subsample", "1"], check=True)
+    from genesis_tpu.data import sketchy_config as sk
+    cfg = AttrDict(data_folder=out, img_size=128, batch_size=2,
+                   num_workers=0, K_steps=10, debug=True, seed=0)
+    tng, val, tst = sk.load(cfg)
+    # 8 train episodes x 1 frame x 2 cams x 7 images.
+    assert len(tng.dataset) == 8 * 14
+    b = next(iter(tng))
+    assert b["input"].shape == (2, 128, 128, 3)
+    x = b["input"].astype(np.float32) / 255.0
+    assert float(np.var(np.diff(x, axis=1))) < 0.05
