@@ -49,6 +49,10 @@ def _crc_table():
 
 
 def crc32c(data: bytes, crc: int = 0) -> int:
+    if crc == 0:
+        lib = _native_lib()
+        if lib is not None:  # slice-by-8 C++ path: ~100x the byte loop
+            return int(lib.gt_crc32c(data, len(data)))
     table = _crc_table()
     crc ^= 0xFFFFFFFF
     for b in data:
@@ -170,7 +174,9 @@ def write_records(path: str, records: Sequence[bytes],
                   compression: Optional[str] = None) -> None:
     """Write a tfrecord file (used by tests, fixtures and converters)."""
     if compression == "GZIP":
-        f = gzip.open(path, "wb")
+        # level 6 = the TF writer default; level 9 costs ~2x CPU for a
+        # few percent of size on image payloads.
+        f = gzip.open(path, "wb", compresslevel=6)
     else:
         f = open(path, "wb")
     with f:

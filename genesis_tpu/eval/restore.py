@@ -8,6 +8,7 @@ into a freshly initialised state template.
 """
 
 import os.path as osp
+import sys
 
 import jax
 
@@ -16,6 +17,11 @@ from genesis_tpu.core.attrdict import AttrDict
 from genesis_tpu.core.experiment import fprint, json_load
 from genesis_tpu.train import checkpoint as ckpt_lib
 from genesis_tpu.train.state import create_train_state
+
+
+def _flag_absent(argv, name: str) -> bool:
+    key = f"--{name}"
+    return not any(a == key or a.startswith(key + "=") for a in argv)
 
 
 def load_pretrained(model_dir: str, model_file: str, cfg,
@@ -39,8 +45,23 @@ def load_pretrained(model_dir: str, model_file: str, cfg,
     if force_flags:
         pretrained.update(force_flags)
 
-    loaders = fet.load(cfg.data_config, pretrained)
-    model = fet.load(cfg.model_config, pretrained)
+    # Config round-tripping: when the CLI user didn't pass
+    # --model_config/--data_config explicitly, build from the configs
+    # recorded in the run's flags.json rather than the CLI defaults —
+    # `--model_dir` alone restores any model/data family correctly.
+    argv = sys.argv[1:]
+    data_config, model_config = cfg.data_config, cfg.model_config
+    if _flag_absent(argv, "data_config") and pretrained.get("data_config"):
+        data_config = pretrained.data_config
+    if _flag_absent(argv, "model_config") and \
+            pretrained.get("model_config"):
+        model_config = pretrained.model_config
+    if (data_config, model_config) != (cfg.data_config, cfg.model_config):
+        fprint(f"Using configs from flags.json: {data_config} / "
+               f"{model_config}")
+
+    loaders = fet.load(data_config, pretrained)
+    model = fet.load(model_config, pretrained)
 
     example_batch = next(iter(loaders[0]))
     state = create_train_state(model, pretrained, example_batch,

@@ -45,23 +45,39 @@ _YY, _XX = np.mgrid[0:H, 0:W].astype(np.float32)
 
 
 def _background(rs):
-    """Grey ground plane, brighter toward the horizon, mild noise."""
+    """Grey ground plane, brighter toward the horizon, mild texture.
+
+    The noise is rendered at quarter resolution and upsampled — visually
+    similar grain, but it GZIP-compresses ~10x better than iid per-pixel
+    noise (this file ships 40k+ frames) and renders in one pass.
+    """
     base = rs.uniform(0.35, 0.5)
     horizon = rs.uniform(60, 100)
     shade = base + 0.25 * np.clip((horizon - _YY) / H + 0.35, 0.0, 1.0)
     canvas = np.repeat(shade[..., None], 3, axis=-1)
-    canvas += rs.normal(0, 0.01, canvas.shape).astype(np.float32)
+    small = rs.normal(0, 0.012, (H // 4, W // 4, 1)).astype(np.float32)
+    canvas += np.repeat(np.repeat(small, 4, axis=0), 4, axis=1)
     return np.clip(canvas, 0.0, 1.0).astype(np.float32)
 
 
-def _shadow(canvas, cx, cy, r):
-    d = (((_XX - (cx + 0.55 * r)) / (1.5 * r)) ** 2
-         + ((_YY - (cy + 0.55 * r)) / (0.6 * r)) ** 2)
+def _window(cx, cy, r):
+    """Bounding box [y0:y1, x0:x1] covering an object + its shadow
+    (extent <= 2.2r) — per-object work is O(r^2), not O(H*W)."""
+    y0 = max(int(cy - 2.2 * r), 0)
+    y1 = min(int(cy + 2.2 * r) + 2, H)
+    x0 = max(int(cx - 2.2 * r), 0)
+    x1 = min(int(cx + 2.2 * r) + 2, W)
+    return y0, y1, x0, x1
+
+
+def _shadow(canvas, xx, yy, cx, cy, r):
+    d = (((xx - (cx + 0.55 * r)) / (1.5 * r)) ** 2
+         + ((yy - (cy + 0.55 * r)) / (0.6 * r)) ** 2)
     soft = np.clip(1.0 - d, 0.0, 1.0)
     canvas *= (1.0 - 0.35 * soft)[..., None]
 
 
-def _shade(colour, lam, metal, rs):
+def _shade(colour, lam, metal):
     """[h,w] lambert field -> [h,w,3] shaded colour with optional spec."""
     img = colour[None, None] * (0.45 + 0.55 * lam)[..., None]
     if metal:
@@ -70,19 +86,22 @@ def _shade(colour, lam, metal, rs):
     return img
 
 
-def _draw_object(canvas, rs):
-    """Paint one object; returns its boolean mask."""
+def _draw_object(canvas, entity, label, cy, rs):
+    """Paint one object (+ its ground shadow) into windowed views of the
+    canvas and the entity-label map; returns (cx, depth, size)."""
     shape = rs.randint(3)            # 0=sphere, 1=box, 2=cylinder
     colour = COLOURS[rs.randint(len(COLOURS))]
     metal = rs.rand() < 0.5
-    cy = rs.uniform(100, 215)        # ground-plane band
     depth = (cy - 100.0) / 115.0     # 0 far, 1 near
     size = rs.choice([16.0, 27.0]) * (0.65 + 0.6 * depth)
     cx = rs.uniform(size, W - size)
     lx, ly = rs.uniform(0.4, 0.8), rs.uniform(0.4, 0.8)
 
-    _shadow(canvas, cx, cy, size)
-    dx, dy = (_XX - cx) / size, (_YY - cy) / size
+    y0, y1, x0, x1 = _window(cx, cy, size)
+    xx, yy = _XX[y0:y1, x0:x1], _YY[y0:y1, x0:x1]
+    win = canvas[y0:y1, x0:x1]       # view: writes land in the canvas
+    _shadow(win, xx, yy, cx, cy, size)
+    dx, dy = (xx - cx) / size, (yy - cy) / size
     if shape == 0:                   # sphere: circle + normal shading
         d2 = dx ** 2 + dy ** 2
         mask = d2 <= 1.0
@@ -100,22 +119,23 @@ def _draw_object(canvas, rs):
         mask = barrel | cap
         lam = np.clip(1.0 - np.abs(dx / 0.7 + 0.3 * (1 - lx)), 0.1, 1.0)
         lam = np.where(cap, 1.1, lam)
-    canvas[mask] = np.clip(_shade(colour, lam, metal, rs), 0, 1)[mask]
-    return mask, (cx, cy, depth, size)
+    win[mask] = np.clip(_shade(colour, lam, metal), 0, 1)[mask]
+    entity[y0:y1, x0:x1][mask] = label
+    return cx, depth, size
 
 
 def generate_clevr_scene(rs):
     """Returns (image u8 [240,320,3], mask u8 [11,240,320,1], feats)."""
     canvas = _background(rs)
     n = rs.randint(3, MAX_OBJECTS + 1)
-    # Far-to-near painter's order; nearer objects overwrite farther ones
-    # in both the canvas and the entity masks (true occlusion).
+    # Far-to-near painter's order (sorted by ground-plane y): nearer
+    # objects overwrite farther ones in both the canvas and the entity
+    # masks — true depth occlusion.
     entity = np.zeros((H, W), np.uint8)  # 0 = background
     feats = np.zeros((ENTITIES, 6), np.float32)  # x,y,z,rot,vis,size
-    order = np.argsort(rs.uniform(100, 215, size=n))
-    for slot, _ in enumerate(order):
-        mask, (cx, cy, depth, size) = _draw_object(canvas, rs)
-        entity[mask] = slot + 1
+    cys = np.sort(rs.uniform(100, 215, size=n))
+    for slot, cy in enumerate(cys):
+        cx, depth, size = _draw_object(canvas, entity, slot + 1, cy, rs)
         feats[slot + 1] = (cx / W * 6 - 3, cy / H * 6 - 3, 1 - depth,
                            rs.uniform(0, 360), 1.0, size)
     img8 = np.round(canvas * 255).astype(np.uint8)

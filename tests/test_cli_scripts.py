@@ -154,3 +154,40 @@ def test_compute_fid_cli(trained_run, monkeypatch, tmp_path, capsys):
     assert glob.glob(osp.join(str(tmp_path / "fid_imgs"), "*", "*.png"))
     out = capsys.readouterr().out
     assert "fid" in out.lower()
+
+
+def test_cli_restores_configs_from_flags_json(trained_run, monkeypatch,
+                                              tmp_path, tmp_path_factory):
+    """`--model_dir` alone must restore the run's own model/data configs
+    from flags.json (config round-tripping): a GENESIS checkpoint is
+    visualised without passing --model_config, even though the CLI
+    default is genesisv2_config."""
+    tmp = tmp_path_factory.mktemp("clirun_genesis")
+    cfg = AttrDict(
+        data_config=DATA_CFG,
+        model_config="genesis_tpu/models/genesis_config.py",
+        results_dir=str(tmp), run_name="cli_g",
+        report_loss_every=2, run_validation_every=100000,
+        log_images_every=100000, num_checkpoints=2, resume=False,
+        train_iter=2, batch_size=4, optimiser="adam", learning_rate=1e-4,
+        N_eval=4, num_fid_images=4, beta=0.5, beta_warmup=False,
+        geco=True, g_goal=0.5655, g_lr=1e-5, g_alpha=0.99, g_init=1.0,
+        g_min=1e-10, g_speedup=10.0, model_parallel=1, debug=False,
+        seed=0, img_size=32, K_steps=3, feat_dim=32, comp_ldim=8,
+        comp_enc_channels=8, comp_dec_channels=8, comp_dec_layers=2,
+        latent_dimension=16, attention_latents=16,
+        two_stage=True, autoreg_prior=True, comp_prior=True,
+        enc_norm="bn", dec_norm="bn", comp_symmetric=False,
+        pixel_bound=True, pixel_std1=0.7, pixel_std2=0.7,
+        montecarlo_kl=True, load_instances=True, num_workers=0,
+        synth_train_size=8, synth_eval_size=4, synth_max_sprites=4,
+    )
+    loop_lib.train(cfg)
+    run_dir = osp.join(str(tmp), "cli_g", "1")
+    out = str(tmp_path / "gen_from_json")
+    # No --model_config / --data_config on the command line.
+    _run_cli(monkeypatch, "scripts.visualise_generation", [
+        "visualise_generation.py",
+        "--model_dir", run_dir, "--out_dir", out, "--batch_size", "2"])
+    pngs = glob.glob(osp.join(out, "*.png"))
+    assert pngs, "GENESIS run must restore through flags.json configs"
