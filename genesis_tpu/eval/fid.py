@@ -111,10 +111,12 @@ def make_extractor(kind: str = "auto"):
 # ---------------------------------------------------------------------------
 
 def compute_statistics(batches: Iterable[np.ndarray], extractor,
-                       max_images: Optional[int] = None
+                       max_images: Optional[int] = None,
+                       log_every: int = 2000
                        ) -> Tuple[np.ndarray, np.ndarray]:
     feats = []
     count = 0
+    logged = 0
     for batch in batches:
         if max_images is not None and count >= max_images:
             break
@@ -123,6 +125,12 @@ def compute_statistics(batches: Iterable[np.ndarray], extractor,
             f = f[:max_images - count]
         feats.append(f)
         count += len(f)
+        # Heartbeat: the end-of-training FID stage can run quietly for
+        # many minutes (10k sampled images over a device tunnel);
+        # watchdog-style supervisors treat a silent log as a hang.
+        if log_every and count - logged >= log_every:
+            fprint(f"FID: {count}/{max_images or '?'} images featurised")
+            logged = count
     if not feats:
         raise ValueError(
             "FID feature stream produced no batches — check that the "
