@@ -88,6 +88,14 @@ def main():
             msc_fg, _ = M.segmentation_covering(
                 gt, pred, stats[mode].shape[0], ignore_background=True)
             out["msc_fg" + suffix] = msc_fg
+            # Full-frame variants (beyond the reference CLI, which only
+            # emits FG): the published APC row (README.md:174) quotes
+            # full-frame ARI/MSC, so report them under the same protocol.
+            out["ari" + suffix] = M.adjusted_rand_index(
+                pred, gt, stats[mode].shape[0], fg_only=False)
+            msc, _ = M.segmentation_covering(
+                gt, pred, stats[mode].shape[0], ignore_background=False)
+            out["msc" + suffix] = msc
         return out
 
     num_images = cfg.num_images if not cfg.debug else 8
