@@ -308,7 +308,7 @@ def train(cfg) -> TrainState:
                                          state, verbose=False)
                 s_per_b = (time.time() - timer) / cfg.report_loss_every
                 timer = time.time()
-                ps = (f"{cfg.run_name} | [{iter_idx}/{cfg.train_iter:.0e}]"
+                ps = (f"{cfg.run_name} | [{iter_idx}/{cfg.train_iter:.1e}]"
                       f" elb: {elbo:.0f} err: {float(host['err']):.0f}"
                       f" klm: {float(host['kl_m']):.1f}"
                       f" kll: {float(host['kl_l']):.1f}"
