@@ -101,7 +101,18 @@ def parse(argv: Optional[Sequence[str]] = None,
             # old run flags.json files loadable across versions.
             print(f"WARNING: unknown flag --{name}; keeping raw string")
             cfg[name] = value
+    # Record which flags the user explicitly set as an *instance attribute*
+    # (not a dict item, so it never leaks into flags.json). Consumers such
+    # as eval.restore use this to decide whether a CLI value should
+    # override the pretrained run's flags.json.
+    object.__setattr__(cfg, "_user_set", frozenset(raw))
     return cfg
+
+
+def user_set(cfg) -> frozenset:
+    """The set of flag names explicitly given on the command line that
+    produced `cfg` (empty for programmatically-built configs)."""
+    return getattr(cfg, "_user_set", frozenset())
 
 
 def config(argv: Optional[Sequence[str]] = None) -> AttrDict:

@@ -129,8 +129,18 @@ class GQNLoader:
                 num_frames = train_sz // val_frac
         self.num_frames = num_frames
 
+    def set_all_frames(self, flag: bool) -> None:
+        """Switch between all-views staging (device-dataset path) and
+        one-random-view-per-record streaming; __len__ tracks the mode."""
+        self.all_frames = bool(flag)
+
     def __len__(self):
-        return self.num_frames // self.batch_size
+        # With all_frames the loader yields every view of every record,
+        # i.e. sequence_size x more frames per epoch.
+        n = self.num_frames
+        if self.all_frames:
+            n *= self.info.sequence_size
+        return n // self.batch_size
 
     def _records(self) -> Iterator[bytes]:
         files = list(self.files)

@@ -249,6 +249,14 @@ def train(cfg) -> TrainState:
             fprint("device_dataset: train split exceeds the HBM budget "
                    "or is empty — using the streaming loader path.")
             use_devdata = False
+            # Loaders staged for the device-resident path yield EVERY
+            # view of each record (all_frames); streaming that order
+            # would produce correlated batches for the whole run. Drop
+            # back to random-frame-per-record sampling.
+            if getattr(train_loader, "all_frames", False):
+                train_loader.set_all_frames(False)
+                fprint("device_dataset fallback: loader switched to "
+                       "one-random-frame-per-record sampling.")
     if use_devdata:
         n_frames = host_buf.shape[0]
         dev_buf = jax.device_put(host_buf, replicated(mesh))

@@ -133,17 +133,21 @@ def generate_clevr_scene(rs):
     # masks — true depth occlusion.
     entity = np.zeros((H, W), np.uint8)  # 0 = background
     feats = np.zeros((ENTITIES, 6), np.float32)  # x,y,z,rot,vis,size
+    # Actual pixel-space (cx, cy, depth), matching the DeepMind
+    # clevr_with_masks pixel_coords layout (x/y in pixels).
+    pix = np.zeros((ENTITIES, 3), np.float32)
     cys = np.sort(rs.uniform(100, 215, size=n))
     for slot, cy in enumerate(cys):
         cx, depth, size = _draw_object(canvas, entity, slot + 1, cy, rs)
         feats[slot + 1] = (cx / W * 6 - 3, cy / H * 6 - 3, 1 - depth,
                            rs.uniform(0, 360), 1.0, size)
+        pix[slot + 1] = (cx, cy, 1 - depth)
     img8 = np.round(canvas * 255).astype(np.uint8)
     masks = np.zeros((ENTITIES, H, W, 1), np.uint8)
     for e in range(ENTITIES):
         masks[e, entity == e, 0] = 255
     feats[0, 4] = 1.0  # background entity visible
-    return img8, masks, feats
+    return img8, masks, feats, pix
 
 
 def main():
@@ -162,16 +166,14 @@ def main():
 
     def records():
         for i in range(args.n):
-            img8, masks, feats = generate_clevr_scene(rs)
+            img8, masks, feats, pix = generate_clevr_scene(rs)
             if (i + 1) % 2000 == 0:
                 print(f"{i + 1}/{args.n}", flush=True)
             yield tfr.make_example({
                 "image": img8.tobytes(),
                 "mask": masks.tobytes(),
                 "x": feats[:, 0], "y": feats[:, 1], "z": feats[:, 2],
-                "pixel_coords": np.stack(
-                    [feats[:, 0], feats[:, 1], feats[:, 2]],
-                    axis=-1).astype(np.float32).ravel(),
+                "pixel_coords": pix.ravel(),
                 "rotation": feats[:, 3], "visibility": feats[:, 4],
             })
 

@@ -62,33 +62,43 @@ SHAPES = [rot for name in sorted(_BASE)
 
 
 def generate_tetrominoes_scene(rs):
-    img = np.zeros((H, W, 3), np.uint8)
-    masks = np.zeros((ENTITIES, H, W, 1), np.uint8)
-    feats = np.zeros((ENTITIES, 6), np.float32)  # x,y,shape,r,g,b
-    occupied = np.zeros((H, W), bool)
-    for k in range(1, N_PIECES + 1):
-        for _ in range(100):  # rejection-sample a free placement
-            sid = rs.randint(len(SHAPES))
-            cells = SHAPES[sid]
-            hh = max(r for r, _ in cells) + 1
-            ww = max(c for _, c in cells) + 1
-            r0 = rs.randint(0, H - hh * CELL + 1)
-            c0 = rs.randint(0, W - ww * CELL + 1)
-            m = np.zeros((H, W), bool)
-            for (r, c) in cells:
-                m[r0 + r * CELL:r0 + (r + 1) * CELL,
-                  c0 + c * CELL:c0 + (c + 1) * CELL] = True
-            if not (m & occupied).any():
+    # Outer loop: if any piece exhausts its placement budget, re-draw the
+    # WHOLE scene rather than painting an overlapping piece — the masks
+    # (and the loader test) rely on the non-overlap invariant.
+    while True:
+        img = np.zeros((H, W, 3), np.uint8)
+        masks = np.zeros((ENTITIES, H, W, 1), np.uint8)
+        feats = np.zeros((ENTITIES, 6), np.float32)  # x,y,shape,r,g,b
+        occupied = np.zeros((H, W), bool)
+        ok = True
+        for k in range(1, N_PIECES + 1):
+            for _ in range(100):  # rejection-sample a free placement
+                sid = rs.randint(len(SHAPES))
+                cells = SHAPES[sid]
+                hh = max(r for r, _ in cells) + 1
+                ww = max(c for _, c in cells) + 1
+                r0 = rs.randint(0, H - hh * CELL + 1)
+                c0 = rs.randint(0, W - ww * CELL + 1)
+                m = np.zeros((H, W), bool)
+                for (r, c) in cells:
+                    m[r0 + r * CELL:r0 + (r + 1) * CELL,
+                      c0 + c * CELL:c0 + (c + 1) * CELL] = True
+                if not (m & occupied).any():
+                    break
+            else:
+                ok = False
                 break
-        occupied |= m
-        colour = rs.randint(64, 256, size=3).astype(np.uint8)
-        img[m] = colour
-        masks[k, m, 0] = 255
-        feats[k] = (c0 / W, r0 / H, float(sid),
-                    *(colour.astype(np.float32) / 255.0))
-    masks[0, ~occupied, 0] = 255
-    feats[0] = 0.0
-    return img, masks, feats
+            occupied |= m
+            colour = rs.randint(64, 256, size=3).astype(np.uint8)
+            img[m] = colour
+            masks[k, m, 0] = 255
+            feats[k] = (c0 / W, r0 / H, float(sid),
+                        *(colour.astype(np.float32) / 255.0))
+        if not ok:
+            continue
+        masks[0, ~occupied, 0] = 255
+        feats[0] = 0.0
+        return img, masks, feats
 
 
 def main():
