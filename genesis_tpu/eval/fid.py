@@ -146,11 +146,16 @@ def frechet_distance(mu1, sigma1, mu2, sigma2, eps: float = 1e-6) -> float:
     mu1, mu2 = np.atleast_1d(mu1), np.atleast_1d(mu2)
     sigma1, sigma2 = np.atleast_2d(sigma1), np.atleast_2d(sigma2)
     diff = mu1 - mu2
-    covmean = linalg.sqrtm(sigma1.dot(sigma2))
+    # disp=False like the reference: scipy otherwise *prints* a
+    # "Matrix is singular" diagnostic for near-singular products even
+    # when the result is usable (fid_score.py:176).
+    covmean, _ = linalg.sqrtm(sigma1.dot(sigma2), disp=False)
     if not np.isfinite(covmean).all():
+        fprint(f"fid calculation produces singular product; "
+               f"adding {eps} to diagonal of cov estimates")
         offset = np.eye(sigma1.shape[0]) * eps
-        covmean = linalg.sqrtm(
-            (sigma1 + offset).dot(sigma2 + offset))
+        covmean, _ = linalg.sqrtm(
+            (sigma1 + offset).dot(sigma2 + offset), disp=False)
     if np.iscomplexobj(covmean):
         if not np.allclose(np.diagonal(covmean).imag, 0, atol=1e-3):
             m = np.max(np.abs(covmean.imag))

@@ -286,6 +286,7 @@ def train(cfg) -> TrainState:
     timer = time.time()
     metrics = None
     vis_batch = example_batch
+    grad_probe = None  # built lazily under --log_grads_and_weights
     while iter_idx <= cfg.train_iter:
         if use_devdata:
             device_batches = index_stream()
@@ -357,13 +358,25 @@ def train(cfg) -> TrainState:
                 # Weight/grad + distribution histograms
                 # (reference train.py:313-325, 339-345)
                 if cfg.get("log_grads_and_weights", False):
-                    flat = jax.tree_util.tree_flatten_with_path(
-                        state.params)[0]
-                    for path, val in flat:
-                        name = "/".join(str(p.key) for p in path
-                                        if hasattr(p, "key"))
-                        logger.log_histogram(f"weights/{name}",
-                                             np.asarray(val), iter_idx)
+                    # Grads of the live objective on the vis batch,
+                    # recomputed by a separate jitted probe on this
+                    # cadence only (reference train.py:339-345 logs
+                    # param.grad from the last backward per-step; here
+                    # the hot step keeps grads fused away).
+                    if grad_probe is None:
+                        grad_probe = jax.jit(
+                            step_lib.make_grad_probe(model, cfg))
+                    grads = grad_probe(
+                        state, {"input": jnp.asarray(vis_batch["input"])})
+                    for tree, prefix in ((state.params, "weights"),
+                                         (grads, "grads")):
+                        flat = jax.tree_util.tree_flatten_with_path(
+                            tree)[0]
+                        for path, val in flat:
+                            name = "/".join(str(p.key) for p in path
+                                            if hasattr(p, "key"))
+                            logger.log_histogram(f"{prefix}/{name}",
+                                                 np.asarray(val), iter_idx)
                 if cfg.get("log_distributions", False):
                     from genesis_tpu.data.loader import prepare_input
                     vis = {"input": prepare_input(

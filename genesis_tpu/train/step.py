@@ -39,18 +39,16 @@ def combine_kl(losses) -> Tuple[jnp.ndarray, jnp.ndarray]:
     return kl_m, kl_l
 
 
-def make_train_step(model, cfg) -> Callable[[TrainState, Dict], Tuple]:
-    """Build the pure train step (state, batch) -> (state, metrics)."""
-    tx = make_optimiser(cfg.optimiser, cfg.learning_rate)
+def make_loss_fn(model, cfg) -> Callable:
+    """The training objective (params, state, prepared batch, rng key) ->
+    (loss, aux) — shared by the train step and the grad-histogram probe
+    so both differentiate the exact same program."""
     use_geco = cfg.get("geco", True)
     beta_cfg = float(cfg.get("beta", 0.5))
     beta_warmup = bool(cfg.get("beta_warmup", False))
     train_iter = int(cfg.get("train_iter", 500000))
 
-    def train_step(state: TrainState, batch) -> Tuple[TrainState, Dict]:
-        batch = dict(batch)
-        batch["input"] = prepare_input(batch["input"])
-        rng, step_key = jax.random.split(state.rng)
+    def loss_fn(params, state: TrainState, batch, step_key):
         has_bn = bool(jax.tree_util.tree_leaves(state.batch_stats))
 
         # Beta for the non-GECO objective (reference train.py:253-259).
@@ -62,47 +60,60 @@ def make_train_step(model, cfg) -> Callable[[TrainState, Dict], Tuple]:
         else:
             beta = jnp.asarray(beta_cfg)
 
-        def loss_fn(params):
-            variables = {"params": params}
-            if has_bn:
-                variables["batch_stats"] = state.batch_stats
-                out, mutated = model.apply(
-                    variables, batch["input"], True,
-                    rngs={"sample": step_key}, mutable=["batch_stats"])
-                new_stats = mutated["batch_stats"]
-            else:
-                out = model.apply(variables, batch["input"], True,
-                                  rngs={"sample": step_key})
-                new_stats = state.batch_stats
-            recon, losses, stats, att_stats, comp_stats = out
-            err = jnp.mean(losses["err"])
-            kl_m, kl_l = combine_kl(losses)
-            if use_geco:
-                loss, new_geco = geco_lib.loss(
-                    state.geco, err, kl_l + kl_m)
-            else:
-                loss = err + beta * (kl_l + kl_m)
-                new_geco = state.geco
-            mse_b = jnp.mean((batch["input"] - recon) ** 2,
-                             axis=(1, 2, 3))
-            aux = {
-                "new_stats": new_stats,
-                "new_geco": new_geco,
-                "losses": losses,
-                "metrics": {
-                    "err": err, "kl_m": kl_m, "kl_l": kl_l,
-                    "elbo": err + kl_m + kl_l,
-                    # Batch-mean of per-image (R)MSE, reference
-                    # train.py:243-246
-                    "mse": jnp.mean(mse_b),
-                    "rmse": jnp.mean(jnp.sqrt(mse_b)),
-                    "beta": beta,
-                },
-            }
-            return loss, aux
+        variables = {"params": params}
+        if has_bn:
+            variables["batch_stats"] = state.batch_stats
+            out, mutated = model.apply(
+                variables, batch["input"], True,
+                rngs={"sample": step_key}, mutable=["batch_stats"])
+            new_stats = mutated["batch_stats"]
+        else:
+            out = model.apply(variables, batch["input"], True,
+                              rngs={"sample": step_key})
+            new_stats = state.batch_stats
+        recon, losses, stats, att_stats, comp_stats = out
+        err = jnp.mean(losses["err"])
+        kl_m, kl_l = combine_kl(losses)
+        if use_geco:
+            loss, new_geco = geco_lib.loss(
+                state.geco, err, kl_l + kl_m)
+        else:
+            loss = err + beta * (kl_l + kl_m)
+            new_geco = state.geco
+        mse_b = jnp.mean((batch["input"] - recon) ** 2,
+                         axis=(1, 2, 3))
+        aux = {
+            "new_stats": new_stats,
+            "new_geco": new_geco,
+            "losses": losses,
+            "metrics": {
+                "err": err, "kl_m": kl_m, "kl_l": kl_l,
+                "elbo": err + kl_m + kl_l,
+                # Batch-mean of per-image (R)MSE, reference
+                # train.py:243-246
+                "mse": jnp.mean(mse_b),
+                "rmse": jnp.mean(jnp.sqrt(mse_b)),
+                "beta": beta,
+            },
+        }
+        return loss, aux
+
+    return loss_fn
+
+
+def make_train_step(model, cfg) -> Callable[[TrainState, Dict], Tuple]:
+    """Build the pure train step (state, batch) -> (state, metrics)."""
+    tx = make_optimiser(cfg.optimiser, cfg.learning_rate)
+    use_geco = cfg.get("geco", True)
+    loss_fn = make_loss_fn(model, cfg)
+
+    def train_step(state: TrainState, batch) -> Tuple[TrainState, Dict]:
+        batch = dict(batch)
+        batch["input"] = prepare_input(batch["input"])
+        rng, step_key = jax.random.split(state.rng)
 
         (loss, aux), grads = jax.value_and_grad(
-            loss_fn, has_aux=True)(state.params)
+            loss_fn, has_aux=True)(state.params, state, batch, step_key)
         updates, new_opt_state = tx.update(grads, state.opt_state,
                                            state.params)
         new_params = optax.apply_updates(state.params, updates)
@@ -127,6 +138,25 @@ def make_train_step(model, cfg) -> Callable[[TrainState, Dict], Tuple]:
         return new_state, metrics
 
     return train_step
+
+
+def make_grad_probe(model, cfg) -> Callable:
+    """(state, batch) -> gradient pytree of the live training objective,
+    for `--log_grads_and_weights` histograms (reference train.py:339-345
+    logs param.grad alongside param.data). Jitted separately and invoked
+    only on the validation cadence, so the hot train step never
+    materialises per-parameter grads for logging."""
+    loss_fn = make_loss_fn(model, cfg)
+
+    def grad_probe(state: TrainState, batch):
+        batch = dict(batch)
+        batch["input"] = prepare_input(batch["input"])
+        _, step_key = jax.random.split(state.rng)
+        grads, _ = jax.grad(loss_fn, has_aux=True)(
+            state.params, state, batch, step_key)
+        return grads
+
+    return grad_probe
 
 
 def make_eval_step(model, cfg,

@@ -27,6 +27,61 @@ def test_frechet_distance_known_value():
     np.testing.assert_allclose(got, expected, rtol=1e-6)
 
 
+def test_frechet_distance_singular_product(capfd):
+    """Near-singular covariance products take the reference's eps-offset
+    branch (fid_score.py:175-182) and must not print scipy's
+    'Matrix is singular' diagnostic (disp=False parity), while agreeing
+    with the reference implementation on the same inputs."""
+    D = 6
+    rs = np.random.RandomState(3)
+    # Rank-1 covariances make sigma1 @ sigma2 singular.
+    v1, v2 = rs.randn(D, 1), rs.randn(D, 1)
+    s1, s2 = v1 @ v1.T, v2 @ v2.T
+    mu1, mu2 = rs.randn(D), rs.randn(D)
+    got = F.frechet_distance(mu1, s1, mu2, s2)
+    out = capfd.readouterr()
+    assert "Matrix is singular" not in out.out + out.err
+    assert np.isfinite(got)
+    # Reference oracle on the identical inputs.
+    pytest.importorskip("torch")
+    ref_fid = _import_ref_fid()
+    want = ref_fid.calculate_frechet_distance(mu1, s1, mu2, s2)
+    np.testing.assert_allclose(got, want, rtol=1e-8)
+
+
+def _import_ref_fid():
+    """Import the reference fid_score module, stubbing torchvision
+    (absent in this env; only needed at model-instantiation time)."""
+    import sys
+    import types
+
+    import torch
+
+    if "torchvision" not in sys.modules:
+        class _Blk(torch.nn.Module):
+            # Base for the FIDInception* subclasses declared at module
+            # level; never instantiated by these tests.
+            def __init__(self, *a, **kw):
+                super().__init__()
+
+        tv = types.ModuleType("torchvision")
+        tv.models = types.ModuleType("torchvision.models")
+        inc = types.ModuleType("torchvision.models.inception")
+        for cls in ("InceptionA", "InceptionB", "InceptionC",
+                    "InceptionD", "InceptionE"):
+            setattr(inc, cls, _Blk)
+        tv.models.inception = inc
+        sys.modules["torchvision"] = tv
+        sys.modules["torchvision.models"] = tv.models
+        sys.modules["torchvision.models.inception"] = inc
+    sys.path.insert(0, "/root/reference")
+    try:
+        from third_party.pytorch_fid import fid_score as ref_fid
+    finally:
+        sys.path.remove("/root/reference")
+    return ref_fid
+
+
 def test_random_extractor_pipeline():
     ext = F.RandomConvExtractor(seed=0)
     rs = np.random.RandomState(1)
@@ -103,32 +158,7 @@ def test_fid_matches_reference_pipeline(tmp_path):
                 d / f"{i:03d}.png")
 
     # --- reference pipeline -------------------------------------------
-    # fid_score imports third_party.pytorch_fid.inception, which needs
-    # torchvision only at instantiation time — stub the import so the
-    # module loads in this torchvision-free env.
-    if "torchvision" not in sys.modules:
-        class _Blk(torch.nn.Module):
-            # Base for the FIDInception* subclasses declared at module
-            # level; never instantiated by this test (we pass our own
-            # model into fid_score's functions).
-            def __init__(self, *a, **kw):
-                super().__init__()
-
-        tv = types.ModuleType("torchvision")
-        tv.models = types.ModuleType("torchvision.models")
-        inc = types.ModuleType("torchvision.models.inception")
-        for cls in ("InceptionA", "InceptionB", "InceptionC",
-                    "InceptionD", "InceptionE"):
-            setattr(inc, cls, _Blk)
-        tv.models.inception = inc
-        sys.modules["torchvision"] = tv
-        sys.modules["torchvision.models"] = tv.models
-        sys.modules["torchvision.models.inception"] = inc
-    sys.path.insert(0, "/root/reference")
-    try:
-        from third_party.pytorch_fid import fid_score as ref_fid
-    finally:
-        sys.path.remove("/root/reference")
+    ref_fid = _import_ref_fid()
 
     class RefStyle(torch.nn.Module):
         """Adapts the oracle to the reference model contract:

@@ -143,3 +143,22 @@ def test_device_dataset_fallback_on_oversized_split(tmp_path, monkeypatch):
                    train_iter=2)
     state = loop_lib.train(cfg)
     assert int(state.step) >= 2
+
+
+def test_grad_and_weight_histograms(tmp_path, monkeypatch):
+    """--log_grads_and_weights logs BOTH weights/* and grads/* histograms
+    on the validation cadence (reference train.py:339-345 logs
+    param.data and param.grad for every parameter)."""
+    from genesis_tpu.utils import logging as log_lib
+    seen = []
+    monkeypatch.setattr(
+        log_lib.MetricsLogger, "log_histogram",
+        lambda self, name, values, step: seen.append(name))
+    cfg = loop_cfg(tmp_path, run_name="gradhist", run_validation_every=2,
+                   log_grads_and_weights=True)
+    loop_lib.train(cfg)
+    weights = {n[len("weights/"):] for n in seen
+               if n.startswith("weights/")}
+    grads = {n[len("grads/"):] for n in seen if n.startswith("grads/")}
+    assert weights, "no weight histograms logged"
+    assert weights == grads, "every weight needs a matching grad histogram"
