@@ -125,15 +125,18 @@ class GenesisV2(nn.Module):
                                            padding=1, dtype=dt)
         self.feat_head_out = B.Conv(2 * F, 1, dtype=dt)
         self.z_head = nn.Sequential([
-            nn.LayerNorm(),
+            nn.LayerNorm(epsilon=1e-5),  # torch LayerNorm eps parity
             B.Dense(2 * F), nn.relu,
             B.Dense(2 * F)])
         # Decoder: broadcast to img/16 then 4 stride-2 deconvs + 1x1 head.
         c = F
-        self.dec_convs = [B.ConvT(c, 5, 2, "SAME", dtype=dt),
-                          B.ConvT(c, 5, 2, "SAME", dtype=dt),
-                          B.ConvT(min(c, 64), 5, 2, "SAME", dtype=dt),
-                          B.ConvT(min(c, 64), 5, 2, "SAME", dtype=dt)]
+        # torch ConvTranspose2d(k5, s2, p2, op1) alignment (int padding
+        # lowers to the asymmetric ((2,3),(2,3)) lax padding; 'SAME'
+        # would be shifted one pixel relative to the reference).
+        self.dec_convs = [B.ConvT(c, 5, 2, 2, dtype=dt),
+                          B.ConvT(c, 5, 2, 2, dtype=dt),
+                          B.ConvT(min(c, 64), 5, 2, 2, dtype=dt),
+                          B.ConvT(min(c, 64), 5, 2, 2, dtype=dt)]
         self.dec_norms = [nn.GroupNorm(num_groups=8, epsilon=1e-5,
                                        dtype=dt)
                           for _ in range(4)]

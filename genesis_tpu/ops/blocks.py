@@ -48,8 +48,15 @@ def Conv(features: int, kernel: int, stride: int = 1,
 
 def ConvT(features: int, kernel: int, stride: int = 1,
           padding="SAME", use_bias: bool = True, name: Optional[str] = None,
-          dtype=None):
-    """2D transposed conv (torch ConvTranspose2d k5/s2/p2/op1 == SAME 2x).
+          dtype=None, output_padding: Optional[int] = None):
+    """2D transposed conv. An int `padding` is interpreted in torch
+    ConvTranspose2d terms (p, with output_padding defaulting to
+    stride-1) and lowered to the exact asymmetric lax padding
+    ((k-1-p, k-1-p+op), ...) — torch ALIGNMENT parity: a flax 'SAME'
+    deconv has the same shape but is shifted one pixel up-left relative
+    to torch k5/s2/p2/op1 (verified numerically in
+    tests/test_ref_parity.py; kernels additionally differ by a spatial
+    flip, handled by scripts/port_ref_weights.py).
 
     Perf note (measured, TPU v5e): a sub-pixel phase decomposition of the
     stride-2 deconvs (s^2 stride-1 correlations of the undilated input,
@@ -60,7 +67,10 @@ def ConvT(features: int, kernel: int, stride: int = 1,
     the dilation zeros), while the decomposition pays 4 extra
     full-tensor relayouts for the phase interleave. Stock flax wins."""
     if isinstance(padding, int):
-        padding = ((padding, padding), (padding, padding))
+        p = padding
+        op = (stride - 1) if output_padding is None else output_padding
+        lo, hi = kernel - 1 - p, kernel - 1 - p + op
+        padding = ((lo, hi), (lo, hi))
     return nn.ConvTranspose(features, (kernel, kernel),
                             strides=(stride, stride), padding=padding,
                             use_bias=use_bias, dtype=dtype,

@@ -47,12 +47,15 @@ class GatedConv(nn.Module):
     @nn.compact
     def __call__(self, x, train: bool = True):
         if self.transpose:
-            # torch ConvTranspose2d(k, s, p=2, output_padding=s-1) performs
-            # exact sxs upsampling for k=5 -> flax 'SAME'; k=kz/s=1/p=0 is
-            # the 1x1 -> kz x kz seed upsample -> flax 'VALID'.
-            padding = "SAME" if self.padding > 0 else "VALID"
+            # torch ConvTranspose2d(k, s, p, output_padding=s-1 if p>0
+            # else 0): int padding in B.ConvT lowers to the exact
+            # torch-aligned asymmetric lax padding (sylvester
+            # VAE.py:29-33 uses (5, s, 2, s-1) and the (kz, 1, 0, 0)
+            # seed upsample).
             conv = B.ConvT(2 * self.nout, self.kernel, self.stride,
-                           padding, dtype=self.dtype)
+                           self.padding, dtype=self.dtype,
+                           output_padding=(self.stride - 1
+                                           if self.padding > 0 else 0))
         else:
             conv = B.Conv(2 * self.nout, self.kernel, self.stride,
                           self.padding, dtype=self.dtype)
