@@ -57,8 +57,10 @@ def _make_forge(reference_root):
     class _FLAGS:
         """Just enough of absl FlagValues: train.py json-dumps
         fet._flags.FLAGS.__flags (reference train.py:142)."""
-        __flags = {}
 
+    # Set outside the class body: inside it the name would be mangled to
+    # _FLAGS__flags, but external readers access the literal "__flags".
+    setattr(_FLAGS, "__flags", {})
     flags_mod.FLAGS = _FLAGS
     flags_mod._registry = registry
 
@@ -115,7 +117,7 @@ def _make_forge(reference_root):
                 cfg[name] = registry[name][1](value)
             else:
                 cfg[name] = value
-        _FLAGS._FLAGS__flags = dict(cfg)
+        setattr(_FLAGS, "__flags", dict(cfg))
         return cfg
 
     forge.config = config
@@ -141,12 +143,12 @@ def _make_forge(reference_root):
         run = osp.join(logdir, str(existing[-1] + 1 if existing else 1))
         os.makedirs(run, exist_ok=True)
         with open(osp.join(run, "flags.json"), "w") as f:
-            json.dump(getattr(flags_mod.FLAGS, "_FLAGS__flags", {}), f,
+            json.dump(getattr(flags_mod.FLAGS, "__flags", {}), f,
                       indent=2, default=str)
         return run, None
 
     def print_flags():
-        fprint(json.dumps(getattr(flags_mod.FLAGS, "_FLAGS__flags", {}),
+        fprint(json.dumps(getattr(flags_mod.FLAGS, "__flags", {}),
                           indent=4, sort_keys=True, default=str))
 
     fet_mod.fprint = fprint
@@ -232,6 +234,14 @@ def _make_tensorflow():
     return tf, errors
 
 
+def _register(name, mod):
+    # A real ModuleSpec: torch._dynamo probes importlib.util.find_spec
+    # on sys.modules entries and chokes on __spec__ = None.
+    import importlib.machinery
+    mod.__spec__ = importlib.machinery.ModuleSpec(name, None)
+    sys.modules[name] = mod
+
+
 def install(reference_root: str = REFERENCE_ROOT) -> None:
     """Register all shims in sys.modules and put the reference on
     sys.path (after entries already present, so the repo's own packages
@@ -239,21 +249,21 @@ def install(reference_root: str = REFERENCE_ROOT) -> None:
     if "forge" not in sys.modules or not hasattr(
             sys.modules["forge"], "config"):
         forge, flags_mod, fet_mod = _make_forge(reference_root)
-        sys.modules["forge"] = forge
-        sys.modules["forge.flags"] = flags_mod
-        sys.modules["forge.experiment_tools"] = fet_mod
+        _register("forge", forge)
+        _register("forge.flags", flags_mod)
+        _register("forge.experiment_tools", fet_mod)
     if "attrdict" not in sys.modules:
-        sys.modules["attrdict"] = _make_attrdict()
+        _register("attrdict", _make_attrdict())
     if "torchvision" not in sys.modules:
         tv, transforms, utils, models, inception = _make_torchvision()
-        sys.modules["torchvision"] = tv
-        sys.modules["torchvision.transforms"] = transforms
-        sys.modules["torchvision.utils"] = utils
-        sys.modules["torchvision.models"] = models
-        sys.modules["torchvision.models.inception"] = inception
+        _register("torchvision", tv)
+        _register("torchvision.transforms", transforms)
+        _register("torchvision.utils", utils)
+        _register("torchvision.models", models)
+        _register("torchvision.models.inception", inception)
     if "tensorflow" not in sys.modules:
         tf, errors = _make_tensorflow()
-        sys.modules["tensorflow"] = tf
-        sys.modules["tensorflow.errors"] = errors
+        _register("tensorflow", tf)
+        _register("tensorflow.errors", errors)
     if reference_root not in sys.path:
         sys.path.append(reference_root)
