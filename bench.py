@@ -122,6 +122,25 @@ def main():
         "baseline_estimated": True,  # no published reference wall-clock
         "step_ms": round(1e3 / steps_s, 3),
     }
+    # Measured same-host anchor: scripts/run_reference_baseline.py runs
+    # the unmodified torch reference on this host's CPU and records its
+    # s/batch; when its result file exists, report the measured ratio
+    # alongside the GPU estimate.
+    here = os.path.dirname(os.path.abspath(__file__))
+    candidates = [os.environ.get("GENESIS_TPU_BASELINE_JSON", ""),
+                  "/tmp/ref_baseline/result.json",
+                  os.path.join(here, "evidence", "ref_baseline_cpu.json")]
+    measured = next((p for p in candidates if p and os.path.exists(p)),
+                    None)
+    if canonical and measured:
+        try:
+            with open(measured) as f:
+                ref = json.load(f)
+            ref_im_s = float(ref["baseline_measured_cpu_im_per_s"])
+            record["baseline_measured_cpu_im_s"] = round(ref_im_s, 3)
+            record["vs_baseline_measured_cpu"] = round(im_s / ref_im_s, 1)
+        except (KeyError, ValueError, json.JSONDecodeError):
+            pass
     if flops:
         achieved = flops * steps_s
         record["flops_per_step"] = flops

@@ -74,3 +74,29 @@ def test_pool3_parity_resized_64(random_sd):
     variables = port_state_dict(random_sd, flax_template())
     err = verify_parity(random_sd, variables, batch=1, size=64, atol=1e-3)
     assert err <= 1e-3
+
+
+def test_cli_drop_procedure_end_to_end(random_sd, tmp_path, monkeypatch,
+                                       capsys):
+    """The README runbook's one-command drop: save a synthetic .pth in
+    the real checkpoint layout, run the port CLI with --verify, and
+    assert the msgpack lands where make_extractor() probes and the
+    extractor switches from 'random' to 'inception'."""
+    import scripts.port_fid_weights as pfw
+
+    pth = tmp_path / "pt_inception-synthetic.pth"
+    torch.save(random_sd, str(pth))
+    out = tmp_path / "fid_inception_params.msgpack"
+    monkeypatch.setattr(
+        sys, "argv",
+        ["port_fid_weights.py", "--torch_ckpt", str(pth),
+         "--out", str(out), "--verify"])
+    pfw.main()
+    assert out.exists() and out.stat().st_size > 10 ** 6
+    assert "parity verified" in capsys.readouterr().out
+
+    # The FID extractor now activates from the env var.
+    monkeypatch.setenv("GENESIS_TPU_FID_WEIGHTS", str(out))
+    from genesis_tpu.eval import fid as F
+    extractor = F.make_extractor("auto")
+    assert extractor.name == "inception"
