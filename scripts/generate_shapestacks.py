@@ -46,12 +46,17 @@ def _hsv_rgb(h, s, v):
     return np.array(rgb, np.float32)
 
 
+_UNTEXTURED = False  # --untextured: flat-colour renders (g_goal studies)
+
+
 def _texture(rs, h, w, kind=None):
     """Multiplicative texture field in [1-a, 1+a] — stripes, checker or
     smooth noise. Keeps reconstruction genuinely hard so the GECO err
     constraint stays binding (real ShapeStacks frames are visually
     rich; flat-colour renders saturate err early and trigger premature
     beta ramp)."""
+    if _UNTEXTURED:
+        return np.ones((h, w, 1), np.float32)
     if kind is None:
         kind = rs.randint(0, 3)
     ys = np.arange(h, dtype=np.float32)[:, None]
@@ -151,7 +156,13 @@ def main():
     ap.add_argument("--test", type=int, default=40)
     ap.add_argument("--cams", type=int, default=8)
     ap.add_argument("--seed", type=int, default=0)
+    ap.add_argument("--untextured", action="store_true",
+                    help="flat-colour renders (easy data; used by the "
+                         "g_goal sensitivity study)")
     args = ap.parse_args()
+    if args.untextured:
+        global _UNTEXTURED
+        _UNTEXTURED = True
     rs = np.random.RandomState(args.seed)
 
     splits = [("train", args.train), ("eval", args.eval),
