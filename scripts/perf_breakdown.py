@@ -32,6 +32,36 @@ def timed(fn, *args, steps=30, warmup=3):
     return (time.perf_counter() - t0) / steps * 1e3  # ms
 
 
+# (bf16 peak FLOP/s, HBM bytes/s) by device_kind substring.
+_ROOFLINE = (
+    ("v6", (918e12, 1.64e12)),   # Trillium
+    ("v5p", (459e12, 2.76e12)),
+    ("v5", (197e12, 8.2e11)),    # v5e
+    ("v4", (275e12, 1.2e12)),
+)
+
+
+def device_roofline(device):
+    kind = getattr(device, "device_kind", "").lower()
+    for tag, pair in _ROOFLINE:
+        if tag in kind:
+            return pair
+    return None, None
+
+
+def cost_of(jitted, *args):
+    """XLA cost analysis (flops + approximate HBM bytes) of the compiled
+    executable — the roofline inputs."""
+    try:
+        c = jitted.lower(*args).compile().cost_analysis()
+        if isinstance(c, (list, tuple)):
+            c = c[0]
+        return {"flops": float(c.get("flops", 0.0)),
+                "bytes": float(c.get("bytes accessed", 0.0))}
+    except Exception:
+        return None
+
+
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--img", type=int, default=64)
@@ -73,6 +103,7 @@ def main():
         return jax.jit(fn)
 
     rows = {}
+    costs = {}
 
     # Full train step
     train_step = step_lib.jit_train_step(step_lib.make_train_step(
@@ -90,10 +121,13 @@ def main():
     jax.block_until_ready(m)
     rows["train_step(fwd+bwd+opt+geco)"] = (
         (time.perf_counter() - t0) / args.steps * 1e3)
+    costs["train_step(fwd+bwd+opt+geco)"] = cost_of(
+        train_step, state, {"input": np.asarray(x)})
 
     # Forward only
     fwd = bind(lambda v, x, k: model.apply(v, x, True, rngs={"sample": k}))
     rows["forward"] = timed(fwd, variables, x, key, steps=args.steps)
+    costs["forward"] = cost_of(fwd, variables, x, key)
 
     # Forward + backward (grad of the total loss, no optimiser)
     def loss_fn(params, x, k):
@@ -106,6 +140,7 @@ def main():
     gfn = bind(jax.grad(loss_fn))
     rows["forward+backward"] = timed(gfn, state.params, x, key,
                                      steps=args.steps)
+    costs["forward+backward"] = cost_of(gfn, state.params, x, key)
 
     # Stages (forward)
     enc = bind(lambda v, x: model.apply(
@@ -113,12 +148,14 @@ def main():
             m.encoder(x, t)[0])))
     enc_feat = enc(variables, x)
     rows["encoder_unet"] = timed(enc, variables, x, steps=args.steps)
+    costs["encoder_unet"] = cost_of(enc, variables, x)
 
     seg = bind(lambda v, f: model.apply(
         v, f, True, method=lambda m, f, t: m.seg_head(f, t)
         .astype(jnp.float32)))
     seg_feat = seg(variables, enc_feat)
     rows["seg_head"] = timed(seg, variables, enc_feat, steps=args.steps)
+    costs["seg_head"] = cost_of(seg, variables, enc_feat)
 
     att = bind(lambda v, f, k: model.apply(
         v, f, True, rngs={"sample": k},
@@ -127,6 +164,7 @@ def main():
     log_m_k, _, _ = att(variables, seg_feat, key)
     rows["ic_sbp_attention"] = timed(att, variables, seg_feat, key,
                                      steps=args.steps)
+    costs["ic_sbp_attention"] = cost_of(att, variables, seg_feat, key)
 
     def pool_fn(m, enc_feat, log_m_k, t):
         masks = jnp.exp(log_m_k)
@@ -141,6 +179,7 @@ def main():
     zparams = pool(variables, enc_feat, log_m_k)
     rows["pool+z_head"] = timed(pool, variables, enc_feat, log_m_k,
                                 steps=args.steps)
+    costs["pool+z_head"] = cost_of(pool, variables, enc_feat, log_m_k)
 
     z_k = zparams[..., :model.feat_dim]
     dec = bind(lambda v, z: model.apply(
@@ -148,10 +187,12 @@ def main():
     recon, x_r_k, log_m_r_k = dec(variables, z_k)
     rows["decoder(K-folded)"] = timed(dec, variables, z_k,
                                       steps=args.steps)
+    costs["decoder(K-folded)"] = cost_of(dec, variables, z_k)
 
     from genesis_tpu.ops import losses as L
     xl = bind(lambda x, lm, xr: L.x_loss(x, lm, xr, 0.7))
     rows["x_loss"] = timed(xl, x, log_m_r_k, x_r_k, steps=args.steps)
+    costs["x_loss"] = cost_of(xl, x, log_m_r_k, x_r_k)
 
     print(f"\n== GENESIS-V2 {args.img}px K{args.k} b{args.batch} "
           f"pallas={args.pallas} ({jax.devices()[0].device_kind}) ==")
@@ -162,6 +203,30 @@ def main():
                         "forward+backward"):
             frac = f"  ({100 * ms / total_fwd:.0f}% of fwd)"
         print(f"{name:32s} {ms:8.3f} ms{frac}")
+
+    # Roofline accounting (VERDICT r3 #4): for each stage, the
+    # compute-bound and bandwidth-bound time floors from XLA cost
+    # analysis of the compiled executable; a stage near its max() bound
+    # is at its hardware limit regardless of MFU.
+    peak, bw = device_roofline(jax.devices()[0])
+    if peak:
+        print(f"\n-- roofline (peak {peak / 1e12:.0f} bf16 TF/s, "
+              f"HBM {bw / 1e9:.0f} GB/s) --")
+        print(f"{'stage':32s} {'meas ms':>8s} {'mxu ms':>7s} "
+              f"{'hbm ms':>7s} {'bound':>5s} {'of-bound':>8s}")
+        for name, ms in rows.items():
+            c = costs.get(name)
+            if not c or not (c["flops"] or c["bytes"]):
+                continue
+            t_c = c["flops"] / peak * 1e3
+            t_b = c["bytes"] / bw * 1e3
+            bound = max(t_c, t_b)
+            kind = "MXU" if t_c >= t_b else "HBM"
+            print(f"{name:32s} {ms:8.3f} {t_c:7.3f} {t_b:7.3f} "
+                  f"{kind:>5s} {100 * bound / ms:7.0f}%")
+        print("of-bound = hardware floor / measured "
+              "(100% = at the roofline; dispatch floor ~2.3 ms/call "
+              "over the tunnel inflates small stages)")
 
     if args.trace_dir:
         with jax.profiler.trace(args.trace_dir):
