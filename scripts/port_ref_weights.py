@@ -246,6 +246,27 @@ def port_monet(sd, img_size=64, filter_start=32):
                        "comp_vae": port_comp_vae(sd, img_size)}}
 
 
+def _count_layers(sd, prefix):
+    return len({k[len(prefix) + 1:].split(".")[0] for k in sd
+                if k.startswith(prefix + ".")})
+
+
+def port_vae(sd):
+    """Reference BaselineVAE state_dict -> flax params
+    (models/vae_config.py:40-62: bare sylvester VAE, no norms)."""
+    core = {}
+    core["q_z_nn"], _ = port_gc_stack(
+        sd, "vae.q_z_nn", _count_layers(sd, "vae.q_z_nn"),
+        transpose=False)
+    core["p_x_nn"], _ = port_gc_stack(
+        sd, "vae.p_x_nn", _count_layers(sd, "vae.p_x_nn"),
+        transpose=True)
+    core["q_z_mean"] = _dense(sd, "vae.q_z_mean")
+    core["q_z_var_head"] = _dense(sd, "vae.q_z_var.0")
+    core["p_x_mean"] = _conv(sd, "vae.p_x_mean")
+    return {"params": {"vae": core}}
+
+
 def port_genesis(sd, img_size=64):
     """Reference Genesis state_dict -> flax (params, batch_stats)
     (models/genesis_config.py:57-139 module layout; two_stage +

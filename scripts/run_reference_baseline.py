@@ -125,14 +125,21 @@ def main():
         print(json.dumps({"error": "no s/b heartbeats parsed"}))
         sys.exit(1)
     med = sorted(samples)[len(samples) // 2]
+    # The 1-core host is shared (TPU-queue host threads, test runs), so
+    # the MINIMUM heartbeat is the fairest uncontended estimate of the
+    # reference's speed — and the CONSERVATIVE choice for computing our
+    # speedup (a slower-looking reference would inflate it).
+    best = min(samples)
     result = {
-        "baseline_measured_cpu_s_per_batch": med,
-        "baseline_measured_cpu_im_per_s": args.batch_size / med,
+        "baseline_measured_cpu_s_per_batch": best,
+        "baseline_measured_cpu_im_per_s": args.batch_size / best,
+        "baseline_median_s_per_batch": med,
         "batch_size": args.batch_size,
         "train_iter": args.train_iter,
         "model_config": args.model_config,
         "n_heartbeats": len(tee.s_per_b),
-        "host": "same-host torch CPU (1 core)",
+        "host": "same-host torch CPU (1 core); min heartbeat "
+                "(conservative under host contention)",
     }
     line = json.dumps(result)
     print(line)

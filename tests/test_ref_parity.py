@@ -13,6 +13,8 @@ the complete loss/stat surface agrees:
     (reference models/genesis_config.py:145-271)
   * MONet: log_m_k, log_m_r_k, err, kl_m, kl_l_k, recon
     (reference models/monet_config.py:74-128)
+  * BaselineVAE (sylvester gated-conv VAE): err, kl_l, recon
+    (reference models/vae_config.py:40-90)
 
 This upgrades the block/law-level parity tests (test_blocks, test_losses)
 to whole-model equivalence: same weights -> same losses.
@@ -277,6 +279,43 @@ def test_monet_forward_parity(monkeypatch):
                                r_losses["kl_m"].numpy(), rtol=1e-5)
     np.testing.assert_allclose(np.asarray(losses["kl_l_k"]),
                                _stack(r_losses["kl_l_k"]), atol=1e-4)
+    np.testing.assert_allclose(
+        np.asarray(recon), r_recon.numpy().transpose(0, 2, 3, 1),
+        atol=1e-5)
+
+
+def test_vae_forward_parity(monkeypatch):
+    _install_ref(monkeypatch)
+    import models.vae_config as ref_v
+
+    from scripts.port_ref_weights import (check_against_template,
+                                          port_vae)
+
+    cfg = AttrDict(latent_dimension=64, broadcast_decoder=False,
+                   pixel_bound=True, pixel_std=0.7, img_size=IMG,
+                   debug=False, batch_size=B, compute_dtype="float32",
+                   scan_unroll=1, K_steps=3, planar_flow=False)
+    torch.manual_seed(0)
+    ref = ref_v.BaselineVAE(cfg)
+    ref.eval()
+    sd = ref.state_dict()
+
+    model = fet.load("genesis_tpu/models/vae_config.py", cfg)
+    x_np, xj, xt = _inputs()
+    tmpl = model.init({"params": jax.random.PRNGKey(0),
+                       "sample": jax.random.PRNGKey(1)}, xj, True)
+    vs = port_vae(sd)
+    check_against_template(vs, {"params": tmpl["params"]})
+
+    _match_noise(monkeypatch)
+    with torch.no_grad():
+        r_recon, r_losses, r_stats, _, _ = ref(xt)
+    recon, losses, stats, _, _ = _apply_flax(model, vs, xj)
+
+    np.testing.assert_allclose(np.asarray(losses["err"]),
+                               r_losses["err"].numpy(), rtol=1e-5)
+    np.testing.assert_allclose(np.asarray(losses["kl_l"]),
+                               r_losses["kl_l"].numpy(), atol=1e-4)
     np.testing.assert_allclose(
         np.asarray(recon), r_recon.numpy().transpose(0, 2, 3, 1),
         atol=1e-5)
