@@ -297,8 +297,28 @@ def port_genesis(sd, img_size=64):
     if core_s:
         stats["att_process"] = {"core": core_s}
 
-    # --- component VAE (MONet encoder + broadcast decoder) ---
-    if any(k.startswith("comp_vae.") for k in sd):
+    # --- component VAE ---
+    if any(k.startswith("comp_vae.encoder_module.0.") for k in sd):
+        # comp_symmetric=True: sylvester gated stacks replace the MONet
+        # encoder / broadcast decoder (genesis_config.py:102-119).
+        enc_p, enc_s = port_gc_stack(
+            sd, "comp_vae.encoder_module.0",
+            _count_layers(sd, "comp_vae.encoder_module.0"),
+            transpose=False)
+        dec_p, dec_s = port_gc_stack(
+            sd, "comp_vae.decoder_module.1",
+            _count_layers(sd, "comp_vae.decoder_module.1"),
+            transpose=True)
+        params["sym_encoder"] = {"GatedConvEncoder_0": enc_p}
+        params["sym_decoder"] = {"GatedConvDecoder_0": dec_p,
+                                 "Conv_0": _conv(sd,
+                                                 "comp_vae."
+                                                 "decoder_module.2")}
+        if enc_s:
+            stats["sym_encoder"] = {"GatedConvEncoder_0": enc_s}
+        if dec_s:
+            stats["sym_decoder"] = {"GatedConvDecoder_0": dec_s}
+    elif any(k.startswith("comp_vae.") for k in sd):
         params["comp_vae"] = port_comp_vae(sd, img_size)
 
     # --- priors ---

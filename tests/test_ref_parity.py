@@ -319,3 +319,57 @@ def test_vae_forward_parity(monkeypatch):
     np.testing.assert_allclose(
         np.asarray(recon), r_recon.numpy().transpose(0, 2, 3, 1),
         atol=1e-5)
+
+
+def test_genesis_comp_symmetric_forward_parity(monkeypatch):
+    """comp_symmetric=True swaps the component VAE's MONet encoder /
+    broadcast decoder for sylvester gated stacks (reference
+    models/genesis_config.py:102-119) — the one Genesis wiring the base
+    parity test doesn't reach."""
+    _install_ref(monkeypatch)
+    import models.genesis_config as ref_g
+
+    from scripts.port_ref_weights import (check_against_template,
+                                          port_genesis)
+
+    cfg = AttrDict(K_steps=5, img_size=IMG, two_stage=True,
+                   autoreg_prior=True, comp_prior=True,
+                   attention_latents=64, enc_norm="bn", dec_norm="bn",
+                   comp_enc_channels=32, comp_ldim=16,
+                   comp_dec_channels=32, comp_dec_layers=4,
+                   comp_symmetric=True, pixel_bound=True, pixel_std1=0.7,
+                   pixel_std2=0.7, montecarlo_kl=True, debug=False,
+                   batch_size=B, compute_dtype="float32", scan_unroll=1)
+    torch.manual_seed(0)
+    ref = ref_g.Genesis(cfg)
+    ref.eval()
+    sd = ref.state_dict()
+    g = torch.Generator().manual_seed(5)
+    with torch.no_grad():
+        for k, v in sd.items():
+            if k.endswith("running_mean"):
+                v.copy_(0.1 * torch.randn(v.shape, generator=g))
+            elif k.endswith("running_var"):
+                v.copy_(0.5 + torch.rand(v.shape, generator=g))
+    ref.load_state_dict(sd)
+
+    model = fet.load("genesis_tpu/models/genesis_config.py", cfg)
+    x_np, xj, xt = _inputs()
+    tmpl = model.init({"params": jax.random.PRNGKey(0),
+                       "sample": jax.random.PRNGKey(1)}, xj, True)
+    vs = port_genesis(sd, IMG)
+    check_against_template(vs, {c: tmpl[c] for c in vs})
+
+    _match_noise(monkeypatch)
+    with torch.no_grad():
+        r_recon, r_losses, r_stats, r_att, r_comp = ref(xt)
+    recon, losses, stats, att_stats, comp_stats = _apply_flax(
+        model, vs, xj)
+
+    np.testing.assert_allclose(np.asarray(losses["err"]),
+                               r_losses["err"].numpy(), rtol=1e-5)
+    np.testing.assert_allclose(np.asarray(losses["kl_l_k"]),
+                               _stack(r_losses["kl_l_k"]), atol=1e-4)
+    np.testing.assert_allclose(
+        np.asarray(recon), r_recon.numpy().transpose(0, 2, 3, 1),
+        atol=1e-5)
