@@ -35,6 +35,11 @@ flags.DEFINE_boolean("dynamic_K", False, "Dynamic K.")
 flags.DEFINE_boolean("pallas_icsbp", True,
                      "Run IC-SBP as the fused Pallas kernel (TPU only; "
                      "auto-falls back above 128px / non-lane-aligned).")
+flags.DEFINE_boolean("pallas_gn", False,
+                     "Fuse the decoder's GroupNorm+ReLU stages (and the "
+                     "1x1 RGBA head into the last stage) as Pallas "
+                     "kernels (TPU only; auto-falls back per stage when "
+                     "a block exceeds VMEM).")
 # Auxiliary mask consistency loss
 flags.DEFINE_boolean("klm_loss", False, "KL mask regulariser.")
 flags.DEFINE_boolean("detach_mr_in_klm", True,
@@ -64,6 +69,7 @@ def load(cfg):
         dynamic_K=cfg.get("dynamic_K", False),
         dynamic_K_threshold=cfg.get("dynamic_K_threshold", 20.0),
         pallas_icsbp=cfg.get("pallas_icsbp", True),
+        pallas_gn=cfg.get("pallas_gn", False),
         klm_loss=cfg.get("klm_loss", False),
         detach_mr_in_klm=cfg.get("detach_mr_in_klm", True),
         autoreg_prior=cfg.get("autoreg_prior", True),
@@ -85,6 +91,7 @@ class GenesisV2(nn.Module):
     dynamic_K: bool = False
     dynamic_K_threshold: float = 20.0
     pallas_icsbp: bool = True
+    pallas_gn: bool = False
     klm_loss: bool = False
     detach_mr_in_klm: bool = True
     autoreg_prior: bool = True
@@ -137,11 +144,18 @@ class GenesisV2(nn.Module):
                           B.ConvT(c, 5, 2, 2, dtype=dt),
                           B.ConvT(min(c, 64), 5, 2, 2, dtype=dt),
                           B.ConvT(min(c, 64), 5, 2, 2, dtype=dt)]
-        self.dec_norms = [nn.GroupNorm(num_groups=8, epsilon=1e-5,
-                                       dtype=dt)
-                          for _ in range(4)]
+        # GNReLU/Conv1x1 are param-tree drop-ins for nn.GroupNorm /
+        # B.Conv with an optional fused Pallas path (pallas_gn): each
+        # decoder activation is read once per stage instead of twice,
+        # and the last stage folds the 1x1 RGBA head so the full-size
+        # [K*B,H,W,C] ReLU output never round-trips through HBM.
+        dec_chnls = [c, c, min(c, 64), min(c, 64)]
+        self.dec_norms = [B.GNReLU(channels=ch, groups=8, epsilon=1e-5,
+                                   dtype=dt, use_pallas=self.pallas_gn)
+                          for ch in dec_chnls]
         self.dec_broadcast = B.BroadcastLayer(self.img_size // 16)
-        self.dec_head = B.Conv(self.input_channels + 1, 1)
+        self.dec_head = B.Conv1x1(cin=min(c, 64),
+                                  features=self.input_channels + 1)
         # Prior
         if self.autoreg_prior and self.K_steps > 1:
             self.prior = AutoregPrior(ldim=F, hidden=4 * F,
@@ -164,9 +178,18 @@ class GenesisV2(nn.Module):
 
     # -- Decoder over K-folded batch ------------------------------------
     def _decoder_module(self, z, train: bool = True):
+        from genesis_tpu.ops.pallas import gn_relu as gnr
         x = self.dec_broadcast(z)
-        for conv, norm in zip(self.dec_convs, self.dec_norms):
-            x = nn.relu(norm(conv(x)))
+        for i, (conv, norm) in enumerate(zip(self.dec_convs,
+                                             self.dec_norms)):
+            x = conv(x)
+            if i == 3 and norm.fused_ok(x):
+                # Fused tail: GN+ReLU+1x1 head in one kernel.
+                return gnr.gn_relu_head(
+                    x, norm.scale, norm.bias,
+                    self.dec_head.kernel[0, 0], self.dec_head.bias,
+                    norm.groups, norm.epsilon)
+            x = norm(x)
         return self.dec_head(x)
 
     def decode_latents(self, z_k, train: bool = True, live=None):

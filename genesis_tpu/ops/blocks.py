@@ -270,6 +270,76 @@ class ConvGNReLU(nn.Module):
         return nn.relu(x)
 
 
+class GNReLU(nn.Module):
+    """GroupNorm followed by ReLU with an optional fused Pallas path
+    (ops/pallas/gn_relu.py). Param tree is byte-identical to
+    ``nn.GroupNorm`` (`scale`/`bias` of shape [channels]) so checkpoints
+    and the reference weight port interchange freely; the non-fused
+    branch literally applies ``nn.GroupNorm`` for exact stock math.
+
+    On TPU with `use_pallas`, GroupNorm's stats pass, the normalise
+    pass and the ReLU collapse into one VMEM-resident kernel — the
+    activation is read once instead of twice (the decoder stack's
+    activations are the top HBM consumers at 64px, see STATUS.md
+    roofline table)."""
+    channels: int
+    groups: int = 8
+    epsilon: float = 1e-5
+    dtype: Any = None
+    use_pallas: bool = False
+
+    def setup(self):
+        self.scale = self.param("scale", nn.initializers.ones,
+                                (self.channels,))
+        self.bias = self.param("bias", nn.initializers.zeros,
+                               (self.channels,))
+
+    def fused_ok(self, x) -> bool:
+        from genesis_tpu.ops.pallas import gn_relu as gnr
+        return (self.use_pallas and x.ndim == 4
+                and jax.default_backend() == "tpu"
+                and gnr.supported(x.shape[1], x.shape[2], x.shape[3],
+                                  self.groups))
+
+    def __call__(self, x):
+        if self.fused_ok(x):
+            from genesis_tpu.ops.pallas import gn_relu as gnr
+            return gnr.gn_relu(x, self.scale, self.bias, self.groups,
+                               self.epsilon, self.dtype or x.dtype)
+        # Stock path: nn.GroupNorm math inlined (f32 reductions, fast
+        # variance E[x^2]-E[x]^2, scale/bias per channel, cast to dtype).
+        shape = x.shape
+        C = shape[-1]
+        gs = C // self.groups
+        xf = x.astype(jnp.float32).reshape(
+            shape[0], -1, self.groups, gs)
+        mean = jnp.mean(xf, axis=(1, 3), keepdims=True)
+        var = jnp.mean(jnp.square(xf), axis=(1, 3),
+                       keepdims=True) - jnp.square(mean)
+        y = (xf - mean) * jax.lax.rsqrt(var + self.epsilon)
+        y = y.reshape(shape) * self.scale + self.bias
+        return nn.relu(y.astype(self.dtype or x.dtype))
+
+
+class Conv1x1(nn.Module):
+    """1x1 conv with params declared in setup so a parent module can
+    read `kernel`/`bias` directly (the fused decoder tail folds this
+    head into the last GNReLU kernel). Param tree and init match
+    ``blocks.Conv(features, 1)`` exactly (`kernel` [1,1,cin,features]
+    torch fan-in uniform, `bias` zeros)."""
+    cin: int
+    features: int
+
+    def setup(self):
+        self.kernel = self.param("kernel", torch_init,
+                                 (1, 1, self.cin, self.features))
+        self.bias = self.param("bias", zeros_init, (self.features,))
+
+    def __call__(self, x):
+        y = jnp.einsum("nhwc,cf->nhwf", x, self.kernel[0, 0])
+        return y + self.bias
+
+
 class SemiConv(nn.Module):
     """Gated 1x1 conv + fixed coordinate offset in the last two channels
     (reference blocks.py:167-178). Returns (embedding, delta)."""
