@@ -36,10 +36,11 @@ flags.DEFINE_boolean("pallas_icsbp", True,
                      "Run IC-SBP as the fused Pallas kernel (TPU only; "
                      "auto-falls back above 128px / non-lane-aligned).")
 flags.DEFINE_boolean("pallas_gn", False,
-                     "Fuse the decoder's GroupNorm+ReLU stages (and the "
-                     "1x1 RGBA head into the last stage) as Pallas "
-                     "kernels (TPU only; auto-falls back per stage when "
-                     "a block exceeds VMEM).")
+                     "Fuse every GroupNorm+ReLU stage (encoder UNet "
+                     "blocks, seg/feat heads, decoder stack — the 1x1 "
+                     "RGBA head folds into the last decoder stage) as "
+                     "Pallas kernels (TPU only; auto-falls back per "
+                     "stage when a block exceeds VMEM).")
 # Auxiliary mask consistency loss
 flags.DEFINE_boolean("klm_loss", False, "KL mask regulariser.")
 flags.DEFINE_boolean("detach_mr_in_klm", True,
@@ -114,7 +115,8 @@ class GenesisV2(nn.Module):
             out_chnls=F,
             norm="gn",
             use_final_conv=False,  # final_conv = Identity (v2_config.py:70)
-            dtype=dt)
+            dtype=dt,
+            use_pallas=self.pallas_gn)
         self.att_process = InstanceColouringSBP(
             img_size=self.img_size,
             kernel=self.kernel,
@@ -127,9 +129,11 @@ class GenesisV2(nn.Module):
             scan_unroll=self.scan_unroll,
             debug=self.debug)
         self.seg_head = B.ConvGNReLU(nout=F, kernel=3, stride=1,
-                                     padding=1, dtype=dt)
+                                     padding=1, dtype=dt,
+                                     use_pallas=self.pallas_gn)
         self.feat_head_conv = B.ConvGNReLU(nout=F, kernel=3, stride=1,
-                                           padding=1, dtype=dt)
+                                           padding=1, dtype=dt,
+                                           use_pallas=self.pallas_gn)
         self.feat_head_out = B.Conv(2 * F, 1, dtype=dt)
         self.z_head = nn.Sequential([
             nn.LayerNorm(epsilon=1e-5),  # torch LayerNorm eps parity

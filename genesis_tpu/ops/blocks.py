@@ -230,6 +230,7 @@ class ConvReLU(nn.Module):
     stride: int = 1
     padding: Any = 0
     dtype: Any = None
+    use_pallas: bool = False  # accepted for UNet block interchange; no-op
 
     @nn.compact
     def __call__(self, x, train: bool = True):
@@ -243,14 +244,17 @@ class ConvINReLU(nn.Module):
     stride: int = 1
     padding: Any = 0
     dtype: Any = None
+    use_pallas: bool = False
 
     @nn.compact
     def __call__(self, x, train: bool = True):
         x = Conv(self.nout, self.kernel, self.stride, self.padding,
                  use_bias=False, dtype=self.dtype)(x)
-        x = nn.GroupNorm(num_groups=None, group_size=1, epsilon=1e-5,
-                         dtype=self.dtype)(x)
-        return nn.relu(x)
+        # GNReLU named to preserve the nn.GroupNorm param path
+        # (instance norm == one channel per group, i.e. groups=nout).
+        return GNReLU(channels=self.nout, groups=self.nout,
+                      epsilon=1e-5, dtype=self.dtype,
+                      use_pallas=self.use_pallas, name="GroupNorm_0")(x)
 
 
 class ConvGNReLU(nn.Module):
@@ -260,14 +264,16 @@ class ConvGNReLU(nn.Module):
     padding: Any = 0
     groups: int = 8
     dtype: Any = None
+    use_pallas: bool = False
 
     @nn.compact
     def __call__(self, x, train: bool = True):
         x = Conv(self.nout, self.kernel, self.stride, self.padding,
                  use_bias=False, dtype=self.dtype)(x)
-        x = nn.GroupNorm(num_groups=self.groups, epsilon=1e-5,
-                         dtype=self.dtype)(x)
-        return nn.relu(x)
+        # GNReLU named to preserve the nn.GroupNorm param path.
+        return GNReLU(channels=self.nout, groups=self.groups,
+                      epsilon=1e-5, dtype=self.dtype,
+                      use_pallas=self.use_pallas, name="GroupNorm_0")(x)
 
 
 class GNReLU(nn.Module):

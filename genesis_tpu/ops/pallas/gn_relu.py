@@ -57,6 +57,10 @@ def _stats(x, m_cg, gsize_p):
     fast variance over each channel group (flax GroupNorm parity)."""
     s_c = jnp.sum(x, axis=0, keepdims=True)              # [1, C]
     q_c = jnp.sum(x * x, axis=0, keepdims=True)          # [1, C]
+    if m_cg is None:  # groups == C (instance norm): identity fold
+        mean_c = s_c / gsize_p
+        var_c = jnp.maximum(q_c / gsize_p - mean_c * mean_c, 0.0)
+        return mean_c, var_c
     s_g = jnp.dot(s_c, m_cg)                             # [1, G]
     q_g = jnp.dot(q_c, m_cg)                             # [1, G]
     mean_g = s_g / gsize_p
@@ -70,7 +74,7 @@ def _gn_relu_fwd_kernel(x_ref, scale_ref, bias_ref, y_ref,
                         *, groups: int, eps: float):
     x = x_ref[0].astype(jnp.float32)                     # [P, C]
     P, C = x.shape
-    m_cg = _group_mats(C, groups)
+    m_cg = None if groups == C else _group_mats(C, groups)
     mean_c, var_c = _stats(x, m_cg, float(P * (C // groups)))
     inv_c = jax.lax.rsqrt(var_c + eps)
     g = scale_ref[...].astype(jnp.float32)               # [1, C]
@@ -85,7 +89,7 @@ def _gn_relu_head_fwd_kernel(x_ref, scale_ref, bias_ref, w_ref, hb_ref,
                              y_ref, *, groups: int, eps: float):
     x = x_ref[0].astype(jnp.float32)
     P, C = x.shape
-    m_cg = _group_mats(C, groups)
+    m_cg = None if groups == C else _group_mats(C, groups)
     mean_c, var_c = _stats(x, m_cg, float(P * (C // groups)))
     inv_c = jax.lax.rsqrt(var_c + eps)
     g = scale_ref[...].astype(jnp.float32)
@@ -98,11 +102,19 @@ def _gn_relu_head_fwd_kernel(x_ref, scale_ref, bias_ref, w_ref, hb_ref,
     y_ref[0] = (out + hb_ref[...].astype(jnp.float32)).astype(y_ref.dtype)
 
 
+def _fold(v, m_cg, gsize):
+    """Group-fold a [1, C] row (sum within each group, broadcast back),
+    divided by the group size; identity when groups == C."""
+    if m_cg is None:
+        return v / gsize
+    return jnp.dot(jnp.dot(v, m_cg), m_cg.T) / gsize
+
+
 def _gn_bwd_core(x, scale, groups, eps):
     """Recompute the forward's normalisation from the saved input.
     Returns (xhat, yhat_nobias = xhat*scale, inv_c, m_cg, gsize)."""
     P, C = x.shape
-    m_cg = _group_mats(C, groups)
+    m_cg = None if groups == C else _group_mats(C, groups)
     gsize = float(P * (C // groups))
     mean_c, var_c = _stats(x, m_cg, gsize)
     inv_c = jax.lax.rsqrt(var_c + eps)
@@ -125,10 +137,9 @@ def _gn_relu_bwd_kernel(x_ref, scale_ref, bias_ref, dy_ref,
     dg_ref[...] = jnp.sum(dyh * xhat, axis=0, keepdims=True)
     db_ref[...] = jnp.sum(dyh, axis=0, keepdims=True)
     dxh = dyh * g
-    m1_c = jnp.dot(jnp.dot(jnp.sum(dxh, axis=0, keepdims=True), m_cg),
-                   m_cg.T) / gsize
-    m2_c = jnp.dot(jnp.dot(jnp.sum(dxh * xhat, axis=0, keepdims=True),
-                           m_cg), m_cg.T) / gsize
+    m1_c = _fold(jnp.sum(dxh, axis=0, keepdims=True), m_cg, gsize)
+    m2_c = _fold(jnp.sum(dxh * xhat, axis=0, keepdims=True), m_cg,
+                 gsize)
     dx = inv_c * (dxh - m1_c - xhat * m2_c)
     dx_ref[0] = dx.astype(dx_ref.dtype)
 
@@ -158,10 +169,9 @@ def _gn_relu_head_bwd_kernel(x_ref, scale_ref, bias_ref, w_ref,
     dg_ref[...] = jnp.sum(dyh * xhat, axis=0, keepdims=True)
     db_ref[...] = jnp.sum(dyh, axis=0, keepdims=True)
     dxh = dyh * g
-    m1_c = jnp.dot(jnp.dot(jnp.sum(dxh, axis=0, keepdims=True), m_cg),
-                   m_cg.T) / gsize
-    m2_c = jnp.dot(jnp.dot(jnp.sum(dxh * xhat, axis=0, keepdims=True),
-                           m_cg), m_cg.T) / gsize
+    m1_c = _fold(jnp.sum(dxh, axis=0, keepdims=True), m_cg, gsize)
+    m2_c = _fold(jnp.sum(dxh * xhat, axis=0, keepdims=True), m_cg,
+                 gsize)
     dx = inv_c * (dxh - m1_c - xhat * m2_c)
     dx_ref[0] = dx.astype(dx_ref.dtype)
 

@@ -41,6 +41,7 @@ class UNet(nn.Module):
     norm: str = "in"
     use_final_conv: bool = True
     dtype: Any = None  # computation dtype (bf16 on TPU; params f32)
+    use_pallas: bool = False  # fused GN/IN+ReLU Pallas stages (TPU)
 
     @nn.compact
     def __call__(self, x, train: bool = True):
@@ -61,7 +62,8 @@ class UNet(nn.Module):
         skips = []
         for i, o in enumerate(enc_out):
             x = block(nout=o, kernel=3, stride=1, padding=1,
-                      dtype=self.dtype)(x, train)
+                      dtype=self.dtype, use_pallas=self.use_pallas)(
+                          x, train)
             skips.append(x)
             if i < self.num_blocks - 1:
                 x = B.down2_nearest(x)
@@ -77,7 +79,8 @@ class UNet(nn.Module):
         for i, o in enumerate(dec_out):
             x = jnp.concatenate([x, skips[-1 - i]], axis=-1)
             x = block(nout=o, kernel=3, stride=1, padding=1,
-                      dtype=self.dtype)(x, train)
+                      dtype=self.dtype, use_pallas=self.use_pallas)(
+                          x, train)
             if i < self.num_blocks - 1:
                 x = B.up2_nearest(x)
 

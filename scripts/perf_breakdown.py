@@ -69,6 +69,7 @@ def main():
     ap.add_argument("--batch", type=int, default=32)
     ap.add_argument("--trace_dir", default="")
     ap.add_argument("--pallas", action="store_true")
+    ap.add_argument("--pallas_gn", action="store_true")
     ap.add_argument("--steps", type=int, default=30)
     args = ap.parse_args()
 
@@ -89,7 +90,8 @@ def main():
         comp_dec_layers=4, optimiser="adam", learning_rate=1e-4,
         geco=True, g_goal=0.5655, g_lr=1e-5, g_alpha=0.99, g_init=1.0,
         g_min=1e-10, g_speedup=10.0, batch_size=args.batch,
-        train_iter=500000, seed=0, pallas_icsbp=args.pallas)
+        train_iter=500000, seed=0, pallas_icsbp=args.pallas,
+        pallas_gn=args.pallas_gn)
     model = genesisv2_config.load(cfg)
     rs = np.random.RandomState(0)
     x = jnp.asarray(rs.rand(args.batch, args.img, args.img, 3)
@@ -195,7 +197,8 @@ def main():
     costs["x_loss"] = cost_of(xl, x, log_m_r_k, x_r_k)
 
     print(f"\n== GENESIS-V2 {args.img}px K{args.k} b{args.batch} "
-          f"pallas={args.pallas} ({jax.devices()[0].device_kind}) ==")
+          f"pallas={args.pallas} pallas_gn={args.pallas_gn} "
+          f"({jax.devices()[0].device_kind}) ==")
     total_fwd = rows["forward"]
     for name, ms in rows.items():
         frac = ""

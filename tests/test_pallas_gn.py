@@ -121,3 +121,46 @@ def test_supported_predicate():
     assert gnr.supported(8, 8, 64, 8)            # decoder first stage
     assert not gnr.supported(128, 128, 64, 8)    # 128px last: VMEM gate
     assert not gnr.supported(64, 64, 60, 8)      # channels % groups
+
+
+def test_instance_norm_parity(inputs):
+    """groups == C (instance norm, ConvINReLU's case) takes the
+    identity-fold fast path; parity vs flax group_size=1."""
+    x, _, _, _, _ = inputs
+    C = x.shape[-1]
+    rs = np.random.RandomState(4)
+    scale = jnp.asarray(rs.rand(C).astype(np.float32) + 0.5)
+    bias = jnp.asarray(rs.randn(C).astype(np.float32) * 0.1)
+    gn = nn.GroupNorm(num_groups=None, group_size=1, epsilon=1e-5)
+    y_ref = nn.relu(gn.apply(
+        {"params": {"scale": scale, "bias": bias}}, x))
+    y = gnr.gn_relu(x, scale, bias, C, 1e-5, None)
+    np.testing.assert_allclose(np.asarray(y), np.asarray(y_ref),
+                               rtol=1e-5, atol=1e-5)
+    co = jnp.asarray(rs.randn(*x.shape).astype(np.float32))
+    g_ref = jax.grad(lambda x: jnp.sum(nn.relu(gn.apply(
+        {"params": {"scale": scale, "bias": bias}}, x)) * co))(x)
+    g = jax.grad(lambda x: jnp.sum(
+        gnr.gn_relu(x, scale, bias, C, 1e-5, None) * co))(x)
+    np.testing.assert_allclose(np.asarray(g), np.asarray(g_ref),
+                               rtol=1e-4, atol=1e-4)
+
+
+@pytest.mark.parametrize("block_cls", [B.ConvGNReLU, B.ConvINReLU])
+def test_conv_norm_blocks_param_path_and_parity(inputs, block_cls):
+    """use_pallas preserves the nn.GroupNorm param path (GroupNorm_0/
+    scale|bias) so checkpoints interchange, and the stock branch is
+    numerically unchanged."""
+    x, _, _, _, _ = inputs
+    stock = block_cls(nout=16, kernel=3, stride=1, padding=1)
+    fused = block_cls(nout=16, kernel=3, stride=1, padding=1,
+                      use_pallas=True)
+    v = stock.init(jax.random.PRNGKey(0), x)
+    assert "GroupNorm_0" in v["params"]
+    assert set(v["params"]["GroupNorm_0"].keys()) == {"scale", "bias"}
+    y_stock = stock.apply(v, x)
+    # On CPU fused_ok is False (TPU-only gate) -> same stock math; the
+    # param trees must be interchangeable either way.
+    y_fused = fused.apply(v, x)
+    np.testing.assert_allclose(np.asarray(y_fused), np.asarray(y_stock),
+                               rtol=1e-6, atol=1e-6)
