@@ -72,6 +72,8 @@ def main():
         geco=True, g_goal=0.5655, g_lr=1e-5, g_alpha=0.99, g_init=1.0,
         g_min=1e-10, g_speedup=10.0, batch_size=batch_size,
         train_iter=500000, seed=0)
+    if os.environ.get("BENCH_PALLAS_GN"):
+        cfg.pallas_gn = os.environ["BENCH_PALLAS_GN"] not in ("0", "false")
 
     model = genesisv2_config.load(cfg)
     rs = np.random.RandomState(0)

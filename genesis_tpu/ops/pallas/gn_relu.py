@@ -134,8 +134,8 @@ def _gn_relu_bwd_kernel(x_ref, scale_ref, bias_ref, dy_ref,
         x, scale_ref[...], groups, eps)
     mask = (yhat_nb + b) > 0.0
     dyh = jnp.where(mask, dy, 0.0)                        # dL/d y_hat
-    dg_ref[...] = jnp.sum(dyh * xhat, axis=0, keepdims=True)
-    db_ref[...] = jnp.sum(dyh, axis=0, keepdims=True)
+    dg_ref[0] = jnp.sum(dyh * xhat, axis=0, keepdims=True)
+    db_ref[0] = jnp.sum(dyh, axis=0, keepdims=True)
     dxh = dyh * g
     m1_c = _fold(jnp.sum(dxh, axis=0, keepdims=True), m_cg, gsize)
     m2_c = _fold(jnp.sum(dxh * xhat, axis=0, keepdims=True), m_cg,
@@ -161,13 +161,13 @@ def _gn_relu_head_bwd_kernel(x_ref, scale_ref, bias_ref, w_ref,
     dw_ref[0] = jax.lax.dot_general(
         y, dout, (((0,), (0,)), ((), ())),
         preferred_element_type=jnp.float32)               # [C, F]
-    dhb_ref[...] = jnp.sum(dout, axis=0, keepdims=True)   # [1, F]
+    dhb_ref[0] = jnp.sum(dout, axis=0, keepdims=True)     # [1, F]
     dy = jax.lax.dot_general(
         dout, w, (((1,), (1,)), ((), ())),
         preferred_element_type=jnp.float32)               # [P, C]
     dyh = jnp.where(yhat > 0.0, dy, 0.0)
-    dg_ref[...] = jnp.sum(dyh * xhat, axis=0, keepdims=True)
-    db_ref[...] = jnp.sum(dyh, axis=0, keepdims=True)
+    dg_ref[0] = jnp.sum(dyh * xhat, axis=0, keepdims=True)
+    db_ref[0] = jnp.sum(dyh, axis=0, keepdims=True)
     dxh = dyh * g
     m1_c = _fold(jnp.sum(dxh, axis=0, keepdims=True), m_cg, gsize)
     m2_c = _fold(jnp.sum(dxh * xhat, axis=0, keepdims=True), m_cg,
@@ -229,20 +229,23 @@ def _gn_relu_bwd(groups, eps, out_dtype, res, dy):
         ],
         out_specs=(
             pl.BlockSpec((1, P, C), lambda n: (n, 0, 0)),
-            pl.BlockSpec((1, C), lambda n: (n, 0)),
-            pl.BlockSpec((1, C), lambda n: (n, 0)),
+            # Mosaic tiling: trailing block dims must equal the array's
+            # (or be x8/x128-tileable) — per-program reduction rows are
+            # [N, 1, C] so each (1, 1, C) block matches the array tail.
+            pl.BlockSpec((1, 1, C), lambda n: (n, 0, 0)),
+            pl.BlockSpec((1, 1, C), lambda n: (n, 0, 0)),
         ),
         out_shape=(
             jax.ShapeDtypeStruct((N, P, C), x.dtype),
-            jax.ShapeDtypeStruct((N, C), jnp.float32),
-            jax.ShapeDtypeStruct((N, C), jnp.float32),
+            jax.ShapeDtypeStruct((N, 1, C), jnp.float32),
+            jax.ShapeDtypeStruct((N, 1, C), jnp.float32),
         ),
         interpret=_interpret(),
     )(x.reshape(N, P, C), scale.reshape(1, C), bias.reshape(1, C),
       dy.reshape(N, P, C))
     return (dx.reshape(N, H, W, C),
-            jnp.sum(dg, axis=0).astype(scale.dtype),
-            jnp.sum(db, axis=0).astype(bias.dtype))
+            jnp.sum(dg, axis=(0, 1)).astype(scale.dtype),
+            jnp.sum(db, axis=(0, 1)).astype(bias.dtype))
 
 
 gn_relu.defvjp(_gn_relu_fwd, _gn_relu_bwd)
@@ -304,26 +307,27 @@ def _gn_relu_head_bwd(groups, eps, res, dout):
         ],
         out_specs=(
             pl.BlockSpec((1, P, C), lambda n: (n, 0, 0)),
-            pl.BlockSpec((1, C), lambda n: (n, 0)),
-            pl.BlockSpec((1, C), lambda n: (n, 0)),
+            # [N, 1, C]/[N, 1, F] reduction rows: see _gn_relu_bwd.
+            pl.BlockSpec((1, 1, C), lambda n: (n, 0, 0)),
+            pl.BlockSpec((1, 1, C), lambda n: (n, 0, 0)),
             pl.BlockSpec((1, C, F), lambda n: (n, 0, 0)),
-            pl.BlockSpec((1, F), lambda n: (n, 0)),
+            pl.BlockSpec((1, 1, F), lambda n: (n, 0, 0)),
         ),
         out_shape=(
             jax.ShapeDtypeStruct((N, P, C), x.dtype),
-            jax.ShapeDtypeStruct((N, C), jnp.float32),
-            jax.ShapeDtypeStruct((N, C), jnp.float32),
+            jax.ShapeDtypeStruct((N, 1, C), jnp.float32),
+            jax.ShapeDtypeStruct((N, 1, C), jnp.float32),
             jax.ShapeDtypeStruct((N, C, F), jnp.float32),
-            jax.ShapeDtypeStruct((N, F), jnp.float32),
+            jax.ShapeDtypeStruct((N, 1, F), jnp.float32),
         ),
         interpret=_interpret(),
     )(x.reshape(N, P, C), scale.reshape(1, C), bias.reshape(1, C),
       w, dout.reshape(N, P, F))
     return (dx.reshape(N, H, W, C),
-            jnp.sum(dg, axis=0).astype(scale.dtype),
-            jnp.sum(db, axis=0).astype(bias.dtype),
+            jnp.sum(dg, axis=(0, 1)).astype(scale.dtype),
+            jnp.sum(db, axis=(0, 1)).astype(bias.dtype),
             jnp.sum(dw, axis=0).astype(w.dtype),
-            jnp.sum(dhb, axis=0))
+            jnp.sum(dhb, axis=(0, 1)))
 
 
 gn_relu_head.defvjp(_gn_relu_head_fwd, _gn_relu_head_bwd)
