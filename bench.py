@@ -73,7 +73,8 @@ def main():
         g_min=1e-10, g_speedup=10.0, batch_size=batch_size,
         train_iter=500000, seed=0)
     if os.environ.get("BENCH_PALLAS_GN"):
-        cfg.pallas_gn = os.environ["BENCH_PALLAS_GN"] not in ("0", "false")
+        cfg.pallas_gn = (os.environ["BENCH_PALLAS_GN"].strip().lower()
+                         not in ("0", "false", "no", ""))
 
     model = genesisv2_config.load(cfg)
     rs = np.random.RandomState(0)

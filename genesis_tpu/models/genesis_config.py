@@ -172,8 +172,12 @@ class Genesis(nn.Module):
 
         # - Priors (genesis_config.py:128-138)
         if self.autoreg_prior:
+            # rollout_tanh_mu=False: reference Genesis.sample uses the
+            # raw linear output as the prior mean (genesis_config.py:
+            # 355-357), unlike its own KL path and GenesisV2.sample.
             self.prior = AutoregPrior(ldim=self.ldim, hidden=256,
-                          scan_unroll=self.scan_unroll)
+                          scan_unroll=self.scan_unroll,
+                          rollout_tanh_mu=False)
         if self._use_comp_prior():
             self.prior_mlp = nn.Sequential([
                 B.Dense(256), nn.elu,

@@ -204,7 +204,7 @@ class GenesisV2(nn.Module):
         nin = self.input_channels
         K, bsz = z_k.shape[0], z_k.shape[1]
         dec = self._decoder_module(z_k.reshape(K * bsz, -1), train)
-        dec = dec.astype(jnp.float32)  # losses/masks in f32
+        dec = B.upcast_f32(dec)  # losses/masks in f32 (f64 under parity tests)
         dec = dec.reshape((K, bsz) + dec.shape[1:])
         x_r_k = dec[..., :nin]
         m_r_logits_k = dec[..., nin:]
@@ -226,7 +226,7 @@ class GenesisV2(nn.Module):
         # Attention math (SBP log-space recursion) and pooling stay f32.
 
         # --- Predict attention masks (IC-SBP) ---
-        seg_feat = self.seg_head(enc_feat, train).astype(jnp.float32)
+        seg_feat = B.upcast_f32(self.seg_head(enc_feat, train))
         log_m_k, log_s_k, att_stats = self.att_process(
             seg_feat, self.K_steps - 1, train,
             dynamic_K=self.dynamic_K)
@@ -242,7 +242,7 @@ class GenesisV2(nn.Module):
         # --- Object features, latents (vectorised slot pooling) ---
         masks = jnp.exp(log_m_k)                       # [K,B,H,W,1]
         feat = self.feat_head_out(self.feat_head_conv(enc_feat, train))
-        feat = feat.astype(jnp.float32)
+        feat = B.upcast_f32(feat)
         obj_sum = jnp.einsum("kbhwi,bhwc->kbc", masks, feat)
         mask_sum = jnp.sum(masks, axis=(2, 3, 4))      # [K,B]
         obj_feat = obj_sum / (mask_sum[..., None] + 1e-5)

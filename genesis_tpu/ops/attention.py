@@ -25,6 +25,7 @@ import jax.numpy as jnp
 from flax import linen as nn
 
 from genesis_tpu.ops import blocks as B
+from genesis_tpu.ops.blocks import upcast_f32
 from genesis_tpu.ops.gc_vae import GatedConvVAE
 
 LOG_ZERO = -1e10
@@ -37,7 +38,7 @@ def sbp_rollout(a_logits_k):
     log_s[k] is the scope *before* step k (log_s[0] = 0); the final mask is
     the leftover scope (reference attention.py:50).
     """
-    a_logits_k = a_logits_k.astype(jnp.float32)
+    a_logits_k = upcast_f32(a_logits_k)
     log_a = jax.nn.log_sigmoid(a_logits_k)
     log_na = jax.nn.log_sigmoid(-a_logits_k)
     zeros = jnp.zeros_like(log_a[:1])
@@ -61,7 +62,7 @@ class SimpleSBP(nn.Module):
                 jnp.concatenate([x, log_s.astype(x.dtype)], axis=-1),
                 train)
             # SBP log-space recursion stays f32 even under bf16 compute.
-            a_logits = core_out[..., :1].astype(jnp.float32)
+            a_logits = upcast_f32(core_out[..., :1])
             log_m = log_s + jax.nn.log_sigmoid(a_logits)
             new_s = log_s + jax.nn.log_sigmoid(-a_logits)
             return new_s, (log_m, new_s)
@@ -258,7 +259,7 @@ class InstanceColouringSBP(nn.Module):
                 and icp.supported(self.img_size, steps_to_run,
                                   self.colour_dim)):
             log_m_full_, log_s_, seeds_ = icp.ic_sbp_rollout(
-                colour.astype(jnp.float32), rand_pixel[..., 0],
+                upcast_f32(colour), rand_pixel[..., 0],
                 self.log_sigma, steps_to_run, self.kernel)
             log_m = log_m_full_[:-1][..., None]   # [S, B, H, W, 1]
             log_s_all = log_s_[..., None]         # [S+1, B, H, W, 1]

@@ -34,6 +34,14 @@ torch_init = nn.initializers.variance_scaling(1.0 / 3.0, "fan_in", "uniform")
 zeros_init = nn.initializers.zeros
 
 
+def upcast_f32(x):
+    """bf16 -> f32 upcast at stage boundaries (losses/masks stay f32),
+    but float64 passes through untouched so the f64 golden-parity tests
+    (tests/test_ref_parity_grad_sample.py) see true f64 math instead of
+    frozen f32 rounding noise."""
+    return x.astype(jnp.promote_types(x.dtype, jnp.float32))
+
+
 def Conv(features: int, kernel: int, stride: int = 1,
          padding="SAME", use_bias: bool = True, name: Optional[str] = None,
          dtype=None):
@@ -314,10 +322,12 @@ class GNReLU(nn.Module):
                                self.epsilon, self.dtype or x.dtype)
         # Stock path: nn.GroupNorm math inlined (f32 reductions, fast
         # variance E[x^2]-E[x]^2, scale/bias per channel, cast to dtype).
+        # promote_types (not a hard f32 cast) so float64 parity tests see
+        # true f64 math; bf16 still upcasts to f32 for the reductions.
         shape = x.shape
         C = shape[-1]
         gs = C // self.groups
-        xf = x.astype(jnp.float32).reshape(
+        xf = x.astype(jnp.promote_types(x.dtype, jnp.float32)).reshape(
             shape[0], -1, self.groups, gs)
         mean = jnp.mean(xf, axis=(1, 3), keepdims=True)
         var = jnp.mean(jnp.square(xf), axis=(1, 3),

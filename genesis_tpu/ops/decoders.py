@@ -38,4 +38,4 @@ class BroadcastDecoder(nn.Module):
             x = act(B.Conv(self.h_chnls, 3, padding="VALID",
                            dtype=self.dtype)(x))
         # 1x1 head in f32 for pixel losses
-        return B.Conv(self.out_chnls, 1)(x.astype(jnp.float32))
+        return B.Conv(self.out_chnls, 1)(B.upcast_f32(x))

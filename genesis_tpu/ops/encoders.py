@@ -34,4 +34,4 @@ class MONetCompEncoder(nn.Module):
         x = act(B.Dense(nhid, dtype=dt)(x))
         # Posterior head in f32
         import jax.numpy as jnp
-        return B.Dense(2 * self.comp_ldim)(x.astype(jnp.float32))
+        return B.Dense(2 * self.comp_ldim)(B.upcast_f32(x))

@@ -92,7 +92,7 @@ class GatedConvEncoder(nn.Module):
         x = GatedConv(self.cfc, self.kfc, 1, 0,
                       dtype=self.dtype)(x, train)  # -> [B,1,1,cfc]
         # Posterior heads and downstream latent math run in f32.
-        return x.reshape(x.shape[0], -1).astype(jnp.float32)
+        return B.upcast_f32(x.reshape(x.shape[0], -1))
 
 
 class GatedConvDecoder(nn.Module):
@@ -162,7 +162,7 @@ class GatedConvVAE(nn.Module):
     def decode(self, z, train: bool = True):
         # 1x1 head in f32; pixel losses downstream stay f32.
         return self.p_x_mean(
-            self.p_x_nn(z, train)).astype(jnp.float32)
+            B.upcast_f32(self.p_x_nn(z, train)))
 
     def reparameterize(self, mean, var, key):
         sigma = jnp.sqrt(var)

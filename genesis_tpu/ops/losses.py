@@ -94,10 +94,18 @@ def kl_m_loss(log_m_k, log_m_r_k, eps: float = 1e-5):
 
 class AutoregPrior(nn.Module):
     """Autoregressive LSTM prior p(z_k | z_<k) over slot latents
-    (reference models/genesis_config.py:129-132, 288-343)."""
+    (reference models/genesis_config.py:129-132, 288-343).
+
+    `rollout_tanh_mu`: the reference applies tanh to the prior mean in
+    the teacher-forced KL path for BOTH models (genesis_config.py:309)
+    and in GenesisV2.sample (genesisv2_config.py:241), but Genesis.sample
+    uses the RAW linear output as the mean (genesis_config.py:355-357 —
+    no tanh). That asymmetry is reproduced here because published FIDs
+    depend on the sample path: Genesis sets rollout_tanh_mu=False."""
     ldim: int
     hidden: int = 256
     scan_unroll: int = 0  # 0 = full unroll (see attention._unroll)
+    rollout_tanh_mu: bool = True
 
     def setup(self):
         self.cell = nn.OptimizedLSTMCell(self.hidden)
@@ -107,9 +115,10 @@ class AutoregPrior(nn.Module):
         from genesis_tpu.ops.attention import _unroll
         return _unroll(steps, self.scan_unroll)
 
-    def _step_params(self, lstm_out):
+    def _step_params(self, lstm_out, tanh_mu: bool = True):
         mu_raw, sigma_raw = jnp.split(self.linear(lstm_out), 2, axis=-1)
-        return jnp.tanh(mu_raw), B.to_prior_sigma(sigma_raw)
+        mu = jnp.tanh(mu_raw) if tanh_mu else mu_raw
+        return mu, B.to_prior_sigma(sigma_raw)
 
     def prior_params(self, z_seq):
         """Teacher-forced prior params for steps 1..S given z_seq [S,B,D]
@@ -145,7 +154,7 @@ class AutoregPrior(nn.Module):
         def step(mod, carry, step_key):
             lstm_carry, z_prev = carry
             lstm_carry, y = mod.cell(lstm_carry, z_prev)
-            mu, sigma = mod._step_params(y)
+            mu, sigma = mod._step_params(y, tanh_mu=mod.rollout_tanh_mu)
             z_t = mu + sigma * jax.random.normal(step_key, mu.shape)
             return (lstm_carry, z_t), z_t
 

@@ -69,6 +69,10 @@ def main():
     ap.add_argument("--train_iter", type=int, default=200)
     ap.add_argument("--report_loss_every", type=int, default=25)
     ap.add_argument("--batch_size", type=int, default=32)
+    # Match bench.py's canonical K=9 so the speedup is apples-to-apples
+    # (the r4 measurement ran multid's default K=5, which flatters the
+    # CPU baseline — direction conservative; recorded in the JSON).
+    ap.add_argument("--K_steps", type=int, default=9)
     ap.add_argument("--model_config", default="models/genesisv2_config.py")
     ap.add_argument("--data_folder",
                     default=osp.join(REPO,
@@ -104,6 +108,7 @@ def main():
         "--log_images_every", str(10 ** 9),
         "--num_checkpoints", "1",
         "--num_workers", "0",
+        "--K_steps", str(args.K_steps),
     ]
     os.chdir(REF)  # reference resolves config paths relative to its root
 
@@ -135,6 +140,7 @@ def main():
         "baseline_measured_cpu_im_per_s": args.batch_size / best,
         "baseline_median_s_per_batch": med,
         "batch_size": args.batch_size,
+        "K_steps": args.K_steps,
         "train_iter": args.train_iter,
         "model_config": args.model_config,
         "n_heartbeats": len(tee.s_per_b),
