@@ -151,10 +151,18 @@ def _make_forge(reference_root):
         fprint(json.dumps(getattr(flags_mod.FLAGS, "__flags", {}),
                           indent=4, sort_keys=True, default=str))
 
+    def json_load(path):
+        with open(path) as f:
+            return json.load(f)
+
     fet_mod.fprint = fprint
     fet_mod.load = load
     fet_mod.init_checkpoint = init_checkpoint
     fet_mod.print_flags = print_flags
+    fet_mod.json_load = json_load
+    # Module-level attrs reference eval CLIs assign for fprint routing.
+    fet_mod.EXPERIMENT_FOLDER = None
+    fet_mod.FPRINT_FILE = None
     fet_mod._flags = flags_mod
     forge.experiment_tools = fet_mod
     return forge, flags_mod, fet_mod
