@@ -199,7 +199,14 @@ def train(cfg) -> TrainState:
     mesh = make_mesh(model_parallel=cfg.get("model_parallel", 1),
                      batch_size=cfg.batch_size)
     fprint(f"Mesh: {mesh.shape} over {len(jax.devices())} devices")
-    example_batch = next(iter(train_loader))
+    try:
+        example_batch = next(iter(train_loader))
+    except StopIteration:
+        raise ValueError(
+            "Train loader yielded no batches — the dataset is empty. "
+            "Check --data_folder and any preprocessing the data config "
+            "requires (e.g. apc_config.preprocess populates processed/; "
+            "stale empty split .txt files also cause this).") from None
     # GECO goal scaling uses the true per-image element count (the
     # reference's 3*H*W assumed 3 channels; input_channels is a flag).
     num_elements = int(np.prod(example_batch["input"].shape[1:]))

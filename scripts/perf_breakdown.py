@@ -71,6 +71,9 @@ def main():
     ap.add_argument("--pallas", action="store_true")
     ap.add_argument("--pallas_gn", action="store_true")
     ap.add_argument("--steps", type=int, default=30)
+    ap.add_argument("--byte_audit", action="store_true",
+                    help="bytes-measured vs bytes-minimal per stage "
+                         "(VERDICT r4 #7)")
     args = ap.parse_args()
 
     from genesis_tpu.core.jax_setup import setup_jax
@@ -230,6 +233,89 @@ def main():
         print("of-bound = hardware floor / measured "
               "(100% = at the roofline; dispatch floor ~2.3 ms/call "
               "over the tunnel inflates small stages)")
+
+    if args.byte_audit:
+        # Byte-budget audit (VERDICT r4 #7): the roofline says the step
+        # runs at ~the HBM floor — audit the NUMERATOR. For each stage,
+        # compare the measured bytes (XLA cost analysis of the compiled
+        # executable) against two analytic floors in bf16:
+        #   io    = stage inputs + outputs only (unfusable minimum)
+        #   +act  = io + the layer-boundary activations a deep stage
+        #           must round-trip through HBM once when VMEM can't
+        #           hold the whole stage (UNet skips, decoder deconv
+        #           pyramid) — the *achievable* floor.
+        # Measured/floor <= ~1.15 means no >15% excess to close.
+        BF2 = 2  # bf16 bytes
+
+        def nb(*arrs):
+            # bf16-equivalent bytes of concrete arrays (f32 tensors
+            # could be bf16 in the ideal plan).
+            return sum(int(np.prod(a.shape)) * BF2 for a in arrs)
+
+        Bsz, H = args.batch, args.img
+        K, F = args.k, model.feat_dim
+        # Encoder UNet intermediates: down path halves resolution per
+        # block from H, up path mirrors; channels 32,32,64,64,64 at
+        # 64px (unet.py block plan), skips stored once each.
+        blocks = 5 if H <= 64 else 6
+        ch = [32, 32, 64, 64, 64, 64][:blocks]
+        down = sum(Bsz * (H // 2 ** i) ** 2 * c
+                   for i, c in enumerate(ch))
+        unet_act = BF2 * (2 * down + down)  # down outs + skips + up outs
+        dec_act = BF2 * sum(
+            K * Bsz * (H // 2 ** i) ** 2 * F for i in range(4))
+
+        audits = {
+            "encoder_unet": (nb(x, enc_feat), nb(x, enc_feat) + unet_act),
+            "seg_head": (nb(enc_feat, seg_feat), nb(enc_feat, seg_feat)),
+            "ic_sbp_attention": (nb(seg_feat, log_m_k),
+                                 # colour field + per-step scope chain
+                                 nb(seg_feat, log_m_k)
+                                 + BF2 * 2 * K * Bsz * H * H),
+            "pool+z_head": (nb(enc_feat, log_m_k, zparams),
+                            nb(enc_feat, log_m_k, zparams)),
+            "decoder(K-folded)": (nb(z_k, recon, x_r_k, log_m_r_k),
+                                  nb(z_k, recon, x_r_k, log_m_r_k)
+                                  + dec_act),
+            "x_loss": (nb(x, log_m_r_k, x_r_k) + 4 * Bsz,
+                       nb(x, log_m_r_k, x_r_k) + 4 * Bsz),
+        }
+        print("\n-- byte-budget audit (bf16 floors vs XLA-measured "
+              "bytes) --")
+        print(f"{'stage':32s} {'meas MB':>8s} {'io MB':>7s} "
+              f"{'+act MB':>8s} {'meas/+act':>9s}")
+        for name, (io_b, act_b) in audits.items():
+            c = costs.get(name)
+            if not c or not c["bytes"]:
+                continue
+            mb = c["bytes"] / 1e6
+            print(f"{name:32s} {mb:8.2f} {io_b / 1e6:7.2f} "
+                  f"{act_b / 1e6:8.2f} {mb / (act_b / 1e6):8.2f}x")
+        c = costs.get("forward")
+        if c and c["bytes"]:
+            io_sum = sum(a for a, _ in audits.values())
+            act_sum = sum(b for _, b in audits.values())
+            print(f"{'forward (sum of stages)':32s} "
+                  f"{c['bytes'] / 1e6:8.2f} {io_sum / 1e6:7.2f} "
+                  f"{act_sum / 1e6:8.2f} "
+                  f"{c['bytes'] / act_sum:8.2f}x")
+        c = costs.get("train_step(fwd+bwd+opt+geco)")
+        if c and c["bytes"]:
+            # fwd+bwd ~ 3x activation traffic (fwd write+read, bwd
+            # re-read + cotangent) + optimiser params traffic: params
+            # read + grad write + 2 adam moments read/write + params
+            # write, all f32 = 7 passes over P.
+            P = sum(int(np.prod(p.shape)) for p in
+                    jax.tree_util.tree_leaves(state.params))
+            act_sum = sum(b for _, b in audits.values())
+            step_floor = 3 * act_sum + 7 * 4 * P
+            print(f"{'train_step (3x act + 7x params)':32s} "
+                  f"{c['bytes'] / 1e6:8.2f} {'':7s} "
+                  f"{step_floor / 1e6:8.2f} "
+                  f"{c['bytes'] / step_floor:8.2f}x")
+        print("io = stage inputs+outputs only; +act = io + necessary "
+              "layer-boundary round-trips (achievable floor); "
+              "<=1.15x means no >15% excess to close.")
 
     if args.trace_dir:
         with jax.profiler.trace(args.trace_dir):

@@ -27,6 +27,12 @@ gen_data () {
   [ -d data/multi-object-synth/clevr ] || \
     python scripts/generate_clevr_tfrecords.py --n 30000
   [ -d data/apc-synth ] || python scripts/generate_apc.py
+  # The APC loader reads processed/ (resize+crop of training/); the
+  # split .txt files must not pre-exist empty or the loader sees 0
+  # images (this bit the first queue run).
+  [ -d data/apc-synth/processed ] || python -c \
+    "from genesis_tpu.data.apc_config import preprocess; \
+preprocess('data/apc-synth')"
 }
 
 run_one () {
