@@ -75,6 +75,8 @@ def main():
     if os.environ.get("BENCH_PALLAS_GN"):
         cfg.pallas_gn = (os.environ["BENCH_PALLAS_GN"].strip().lower()
                          not in ("0", "false", "no", ""))
+    if os.environ.get("BENCH_SLOT_DTYPE"):  # A/B: bf16 slot storage
+        cfg.slot_dtype = os.environ["BENCH_SLOT_DTYPE"].strip()
 
     model = genesisv2_config.load(cfg)
     rs = np.random.RandomState(0)

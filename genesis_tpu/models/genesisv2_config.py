@@ -57,6 +57,15 @@ flags.DEFINE_integer("scan_unroll", 0,
 flags.DEFINE_string("compute_dtype", "bfloat16",
                     "{float32, bfloat16} - conv/matmul computation dtype "
                     "(params and losses stay float32).")
+flags.DEFINE_string("slot_dtype", "float32",
+                    "{float32, bfloat16} - storage dtype of the "
+                    "slot-stacked [K,B,H,W,*] decode/mask tensors (the "
+                    "dominant HBM traffic, see STATUS byte audit). "
+                    "bfloat16 halves that traffic; loss math still "
+                    "accumulates in float32 (x_loss promotes, the mask "
+                    "log-softmax and recon sum are computed in f32). "
+                    "Training-perf knob: eval/visualisation CLIs should "
+                    "keep the float32 default.")
 
 
 def load(cfg):
@@ -78,6 +87,7 @@ def load(cfg):
         pixel_std=cfg.pixel_std1,
         input_channels=cfg.get("input_channels", 3),
         compute_dtype=cfg.get("compute_dtype", "bfloat16"),
+        slot_dtype=cfg.get("slot_dtype", "float32"),
         scan_unroll=cfg.get("scan_unroll", 0),
         debug=cfg.get("debug", False),
     )
@@ -100,6 +110,7 @@ class GenesisV2(nn.Module):
     pixel_std: float = 0.7
     input_channels: int = 3
     compute_dtype: str = "bfloat16"
+    slot_dtype: str = "float32"
     scan_unroll: int = 0
     debug: bool = False
 
@@ -158,8 +169,14 @@ class GenesisV2(nn.Module):
                                    dtype=dt, use_pallas=self.pallas_gn)
                           for ch in dec_chnls]
         self.dec_broadcast = B.BroadcastLayer(self.img_size // 16)
+        # slot_dtype=bfloat16 emits the [K*B,H,W,C+1] decode directly in
+        # bf16 (the head einsum runs bf16 too) so the dominant slot
+        # traffic is stored half-width; default None keeps the stock f32
+        # head math byte-exact for the parity tests.
+        sdt = jnp.bfloat16 if self.slot_dtype == "bfloat16" else None
         self.dec_head = B.Conv1x1(cin=min(c, 64),
-                                  features=self.input_channels + 1)
+                                  features=self.input_channels + 1,
+                                  dtype=sdt)
         # Prior
         if self.autoreg_prior and self.K_steps > 1:
             self.prior = AutoregPrior(ldim=F, hidden=4 * F,
@@ -204,10 +221,19 @@ class GenesisV2(nn.Module):
         nin = self.input_channels
         K, bsz = z_k.shape[0], z_k.shape[1]
         dec = self._decoder_module(z_k.reshape(K * bsz, -1), train)
-        dec = B.upcast_f32(dec)  # losses/masks in f32 (f64 under parity tests)
+        if self.slot_dtype == "bfloat16":
+            # Perf lever (STATUS byte audit): keep the slot-stacked
+            # decode in bf16 — halves the dominant HBM traffic. The
+            # mask chain below upcasts its 1-of-C+1 logit channel so
+            # the log-softmax stays f32-exact, and x_loss/recon promote
+            # to f32 on contact with the f32 image/log-masks, so loss
+            # accumulation is unchanged in dtype.
+            dec = dec.astype(jnp.bfloat16)
+        else:
+            dec = B.upcast_f32(dec)  # losses/masks f32 (f64 under parity)
         dec = dec.reshape((K, bsz) + dec.shape[1:])
         x_r_k = dec[..., :nin]
-        m_r_logits_k = dec[..., nin:]
+        m_r_logits_k = B.upcast_f32(dec[..., nin:])
         if live is not None:
             m_r_logits_k = jnp.where(
                 live[:, :, None, None, None], m_r_logits_k, LOG_ZERO)

@@ -345,6 +345,7 @@ class Conv1x1(nn.Module):
     torch fan-in uniform, `bias` zeros)."""
     cin: int
     features: int
+    dtype: Any = None
 
     def setup(self):
         self.kernel = self.param("kernel", torch_init,
@@ -352,8 +353,11 @@ class Conv1x1(nn.Module):
         self.bias = self.param("bias", zeros_init, (self.features,))
 
     def __call__(self, x):
-        y = jnp.einsum("nhwc,cf->nhwf", x, self.kernel[0, 0])
-        return y + self.bias
+        k = self.kernel[0, 0]
+        if self.dtype is not None:
+            x, k = x.astype(self.dtype), k.astype(self.dtype)
+        y = jnp.einsum("nhwc,cf->nhwf", x, k)
+        return y + self.bias.astype(y.dtype)
 
 
 class SemiConv(nn.Module):

@@ -137,6 +137,53 @@ def test_genesisv2(dynamic_K):
     assert img.shape == (2, 32, 32, 3)
 
 
+def test_genesisv2_slot_dtype_bf16():
+    """slot_dtype=bfloat16 stores the slot-stacked decode tensors in
+    bf16 (the HBM-dominant traffic, STATUS byte audit) while the mask
+    log-softmax and loss accumulation stay float32. Same params as the
+    stock f32 model; losses must agree to bf16 rounding tolerance."""
+    from genesis_tpu.models import genesisv2_config
+    x = jax.random.uniform(jax.random.PRNGKey(9), (2, 32, 32, 3))
+    key = jax.random.PRNGKey(0)
+
+    cfg32 = tiny_cfg(compute_dtype="float32")
+    m32 = genesisv2_config.load(cfg32)
+    variables = jax.jit(lambda: m32.init(
+        {"params": key, "sample": key}, x, True))()
+
+    cfg16 = tiny_cfg(compute_dtype="float32", slot_dtype="bfloat16")
+    m16 = genesisv2_config.load(cfg16)
+
+    def fwd(model):
+        return jax.jit(lambda v, xx: model.apply(
+            v, xx, True, rngs={"sample": jax.random.PRNGKey(2)}))(
+                variables, x)
+
+    r32, l32, s32, _, _ = fwd(m32)
+    r16, l16, s16, _, _ = fwd(m16)
+    # Storage dtypes: slot decode bf16, mask chain + losses f32.
+    assert s16["x_r_k"].dtype == jnp.bfloat16
+    assert s16["log_m_r_k"].dtype == jnp.float32
+    assert l16["err"].dtype == jnp.float32
+    assert r16.dtype == jnp.float32
+    # Numerics: bf16 storage rounding only (loss math still f32).
+    np.testing.assert_allclose(np.asarray(l16["err"]),
+                               np.asarray(l32["err"]), rtol=2e-2)
+    np.testing.assert_allclose(np.asarray(r16), np.asarray(r32),
+                               atol=2e-2)
+    # Gradients through the bf16 decode are finite and non-zero.
+    def loss_fn(params):
+        _, losses, _, _, _ = m16.apply(
+            {"params": params}, x, True,
+            rngs={"sample": jax.random.PRNGKey(2)})
+        return (jnp.mean(losses["err"])
+                + jnp.mean(jnp.sum(losses["kl_l_k"], 0)))
+    grads = jax.jit(jax.grad(loss_fn))(variables["params"])
+    leaves = jax.tree_util.tree_leaves(grads)
+    assert all(np.isfinite(np.asarray(g)).all() for g in leaves)
+    assert sum(float(jnp.abs(g).sum()) for g in leaves) > 0
+
+
 def test_genesisv2_grads_flow():
     """End-to-end gradient: d(err + kl)/d(params) is finite and non-zero."""
     from genesis_tpu.models import genesisv2_config
