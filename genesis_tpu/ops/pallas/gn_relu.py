@@ -285,11 +285,13 @@ def _gn_relu_head_fwd(x, scale, bias, w, hb, groups, eps):
         interpret=_interpret(),
     )(x.reshape(N, P, C), scale.reshape(1, C), bias.reshape(1, C),
       w, hb.reshape(1, F))
-    return y.reshape(N, H, W, F), (x, scale, bias, w, hb.dtype)
+    # Residuals must be JAX types (a raw np.dtype is not) — carry the
+    # tiny [F] bias itself so the bwd can cast its cotangent to match.
+    return y.reshape(N, H, W, F), (x, scale, bias, w, hb)
 
 
 def _gn_relu_head_bwd(groups, eps, res, dout):
-    x, scale, bias, w, hb_dtype = res
+    x, scale, bias, w, hb = res
     N, H, W, C = x.shape
     F = w.shape[-1]
     P = H * W
@@ -327,7 +329,7 @@ def _gn_relu_head_bwd(groups, eps, res, dout):
             jnp.sum(dg, axis=(0, 1)).astype(scale.dtype),
             jnp.sum(db, axis=(0, 1)).astype(bias.dtype),
             jnp.sum(dw, axis=0).astype(w.dtype),
-            jnp.sum(dhb, axis=(0, 1)).astype(hb_dtype))
+            jnp.sum(dhb, axis=(0, 1)).astype(hb.dtype))
 
 
 gn_relu_head.defvjp(_gn_relu_head_fwd, _gn_relu_head_bwd)

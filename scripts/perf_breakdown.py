@@ -74,6 +74,10 @@ def main():
     ap.add_argument("--byte_audit", action="store_true",
                     help="bytes-measured vs bytes-minimal per stage "
                          "(VERDICT r4 #7)")
+    ap.add_argument("--slot_dtype", default="float32",
+                    help="{float32,bfloat16} slot-tensor storage dtype "
+                         "(the byte-audit lever; see models/"
+                         "genesisv2_config.py --slot_dtype)")
     args = ap.parse_args()
 
     from genesis_tpu.core.jax_setup import setup_jax
@@ -94,7 +98,7 @@ def main():
         geco=True, g_goal=0.5655, g_lr=1e-5, g_alpha=0.99, g_init=1.0,
         g_min=1e-10, g_speedup=10.0, batch_size=args.batch,
         train_iter=500000, seed=0, pallas_icsbp=args.pallas,
-        pallas_gn=args.pallas_gn)
+        pallas_gn=args.pallas_gn, slot_dtype=args.slot_dtype)
     model = genesisv2_config.load(cfg)
     rs = np.random.RandomState(0)
     x = jnp.asarray(rs.rand(args.batch, args.img, args.img, 3)
