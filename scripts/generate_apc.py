@@ -14,6 +14,18 @@ resize+centre-crop preprocessing into `processed/`, which
 
 Usage: python scripts/generate_apc.py [--out data/apc-synth]
            [--scenes 500] [--frames_per_scene 20] [--seed 0]
+           [--textured]
+
+`--textured` raises the dataset's reconstruction floor with STRUCTURED
+content: per-object stripe/checker/grain textures anchored in
+object-local coordinates (they track the object under camera parallax,
+so reconstructing them requires per-object latents) plus cardboard
+grain and shelf slats on the bin. This is the lever the round-5 APC
+negative identified — with near-uniform albedo patches the
+information-free recon floor and the segmentation-bearing floor nearly
+coincide, so hitting the GECO goal never forces segmentation (same
+mechanism the textured ShapeStacks rerun fixed; reference precedent
+for per-dataset data statistics: README.md:140).
 """
 
 import argparse
@@ -26,6 +38,33 @@ import numpy as np
 sys.path.insert(0, osp.dirname(osp.dirname(osp.abspath(__file__))))
 
 H, W = 192, 256  # raw frame size (preprocess resizes+crops to 128)
+
+_TEXTURED = False  # --textured: structured high-frequency albedo
+
+
+def _obj_texture(t, u, v):
+    """Multiplicative texture field in [1-a, 1+a] evaluated at
+    object-local pixel coords (u, v) — anchored to the object so the
+    pattern moves WITH it under camera parallax. `t` is the per-object
+    texture spec sampled once at scene creation."""
+    if t["kind"] == 0:    # diagonal stripes
+        f = np.sin((u * t["c"] + v * t["s"]) * t["freq"] + t["phase"])
+        return 1.0 + t["amp"] * np.sign(f)
+    if t["kind"] == 1:    # checker
+        f = (np.floor(u * t["freq"] / 4 + t["phase"])
+             + np.floor(v * t["freq"] / 4)) % 2
+        return 1.0 - t["amp"] + 2 * t["amp"] * f
+    # smooth grain: two incommensurate sinusoids (cheap value noise)
+    f = (np.sin(u * t["freq"] + t["phase"])
+         * np.sin(v * t["freq"] * 0.73 + 2.1 * t["phase"]))
+    return 1.0 + t["amp"] * f
+
+
+def _sample_texture(rs):
+    th = rs.uniform(0, np.pi)
+    return dict(kind=rs.randint(0, 3), freq=rs.uniform(0.25, 0.9),
+                amp=rs.uniform(0.18, 0.32), phase=rs.uniform(0, 6.28),
+                c=np.cos(th), s=np.sin(th))
 
 
 def _hsv_rgb(h, s, v):
@@ -53,7 +92,11 @@ def make_scene(rs):
                          rs.uniform(0.4, 0.95)),
             col2=_hsv_rgb(rs.uniform(0, 1), rs.uniform(0.3, 0.9),
                           rs.uniform(0.4, 0.95)),
-        ) for _ in range(n_obj)])
+            tex=_sample_texture(rs),
+        ) for _ in range(n_obj)],
+        bin_tex=_sample_texture(rs),
+        slat_period=rs.uniform(14, 26), slat_phase=rs.uniform(0, 30),
+        bg_depth=rs.uniform(0.1, 0.25))
 
 
 def render(scene, jx, jy, rs):
@@ -70,6 +113,16 @@ def render(scene, jx, jy, rs):
     img *= (0.75 + 0.25 * np.clip(side / 0.12, 0, 1))
     ys = np.arange(H)[:, None]
     xs = np.arange(W)[None, :]
+    if _TEXTURED:
+        # Cardboard grain + horizontal shelf slats, anchored to the bin
+        # (shifts with the background parallax depth under jitter).
+        bgd = scene["bg_depth"]
+        u = (xs - jx * bgd).astype(np.float32)
+        v = (ys - jy * bgd).astype(np.float32)
+        grain = _obj_texture(scene["bin_tex"], u, v)
+        slat = 1.0 - 0.22 * (
+            ((v + scene["slat_phase"]) % scene["slat_period"]) < 2.0)
+        img *= (grain * slat)[..., None]
     order = np.argsort([o["depth"] for o in scene["objects"]])
     for rank, oi in enumerate(order):
         obj = scene["objects"][oi]
@@ -103,6 +156,15 @@ def render(scene, jx, jy, rs):
                 (0.8 + 0.2 * np.clip((xs - ox + ow) / max(2 * ow, 1),
                                      0, 1))[..., None], (H, W, 1))
             img[m] = col * shade[m]
+        if _TEXTURED:
+            # Multiplicative texture in object-LOCAL coordinates: the
+            # pattern tracks the object under camera parallax, so
+            # reconstructing it needs a per-object latent rather than
+            # a global background field.
+            tfield = _obj_texture(obj["tex"],
+                                  (xs - ox).astype(np.float32),
+                                  (ys - oy).astype(np.float32))
+            img[m] *= np.broadcast_to(tfield[..., None], (H, W, 3))[m]
         mask[m] = rank + 1
     img += rs.normal(0, 0.015, img.shape)
     return (np.clip(img, 0, 1) * 255).astype(np.uint8), mask
@@ -115,7 +177,14 @@ def main():
     ap.add_argument("--scenes", type=int, default=500)
     ap.add_argument("--frames_per_scene", type=int, default=20)
     ap.add_argument("--seed", type=int, default=0)
+    ap.add_argument("--textured", action="store_true",
+                    help="structured per-object + bin textures (raises "
+                         "the recon floor with segmentation-bearing "
+                         "content; see module docstring)")
     args = ap.parse_args()
+    if args.textured:
+        global _TEXTURED
+        _TEXTURED = True
     rs = np.random.RandomState(args.seed)
     warehouses = ("warehouse-a", "warehouse-b")
     objsets = ("office", "kitchen", "tools")
