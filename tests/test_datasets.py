@@ -341,6 +341,56 @@ def test_generate_apc_feeds_preprocess_and_loader(tmp_path):
     assert float(np.var(np.diff(x, axis=1))) < 0.05
 
 
+def test_generate_apc_textured_raises_object_frequency(tmp_path):
+    """`generate_apc.py --textured` exists to raise the dataset's
+    reconstruction floor with OBJECT-ANCHORED high-frequency albedo
+    (stripes/checker/grain), so reconstructing to the GECO goal
+    requires per-object appearance. Pin that invariant: with the same
+    seed, within-object gradient energy is a multiple of the
+    untextured generator's, and the preprocess+loader path still
+    feeds images + instance masks."""
+    import importlib.util as ilu
+    spec = ilu.spec_from_file_location(
+        "gen_apc2", osp.join(osp.dirname(osp.dirname(__file__)),
+                             "scripts", "generate_apc.py"))
+
+    def gen_and_load(out, extra):
+        gen = ilu.module_from_spec(spec)
+        spec.loader.exec_module(gen)
+        argv = sys.argv
+        sys.argv = ["x", "--out", out, "--scenes", "12",
+                    "--frames_per_scene", "2", "--seed", "0"] + extra
+        try:
+            gen.main()
+        finally:
+            sys.argv = argv
+        from genesis_tpu.data import apc_config as apc
+        apc.preprocess(out, 128)
+        cfg = AttrDict(data_folder=out, img_size=128, batch_size=4,
+                       num_workers=0, K_steps=10, debug=True, seed=0)
+        tng, _, _ = apc.load(cfg)
+        return next(iter(tng))
+
+    b_flat = gen_and_load(str(tmp_path / "apc-flat"), [])
+    b_tex = gen_and_load(str(tmp_path / "apc-tex"), ["--textured"])
+
+    def obj_grad(b):
+        x = b["input"].astype(np.float32) / 255.0
+        m = (b["instances"][..., 0] > 0)  # object (non-bin) pixels
+        gx = np.abs(np.diff(x, axis=2)).mean(-1)  # [B, H, W-1]
+        sel = m[:, :, 1:] & m[:, :, :-1]
+        assert sel.sum() > 500  # enough interior object pixels
+        return float(gx[sel].mean())
+
+    g_flat, g_tex = obj_grad(b_flat), obj_grad(b_tex)
+    # Same scenes/seed, textured albedo: >=2x within-object gradient
+    # energy (measured ~4-6x; 2x is the regression floor).
+    assert g_tex > 2.0 * g_flat, (g_flat, g_tex)
+    # Scene layout is seed-identical: same instance count per frame.
+    assert int(b_tex["instances"].max()) >= 1
+    assert (b_flat["instances"] == b_tex["instances"]).mean() > 0.99
+
+
 def test_generate_sketchy_episodes_feed_preparation(tmp_path):
     """The synthetic episode generator writes records the REAL
     sketchy_preparation pipeline slices into the processed layout the
